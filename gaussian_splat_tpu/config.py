@@ -1,0 +1,93 @@
+"""Configuration for the render / train pipelines.
+
+The reference hardcodes all of its configuration — PLY path
+(/root/reference/src/main.mm:69-70), window size (main.mm:22-23), OIT mode
+(instanced_splat_renderer.mm:38), AABB clip radius (instanced_splat_renderer.mm:384),
+fragment cap (shaders/gaussian_splat_50layer.metal:8), camera tunables
+(trackball_camera.h:28-37). This module is the real config/flag system the survey
+(§5) calls for: frozen dataclasses usable as jit static arguments, plus CLI glue.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rasterization configuration (hashable: usable as a jit static arg).
+
+    Numeric-semantics constants are shared verbatim between the pure-JAX oracle
+    rasterizer and the Pallas kernels so they agree to floating-point tolerance.
+    """
+
+    # Tiling -----------------------------------------------------------------
+    tile_size: int = 16  # pixels per tile edge (the unused imageblock prototype in
+    #   the reference also chose 16×16 tiles, shaders/gaussian_splat_types.h:7-9)
+    chunk_size: int = 64  # gaussians processed per MXU chunk inside the tile kernel;
+    #   tile segments are padded to a multiple of this so chunk DMAs never cross tiles
+
+    # Binning capacities (static shapes on a shape-static compiler) ----------
+    max_tiles_per_gaussian: int = 64  # cap on tile-rect area per splat; radii are
+    #   shrunk to fit (the reference instead drops overflow fragments outright,
+    #   shaders/gaussian_splat_50layer.metal:172)
+    pairs_per_gaussian: float = 8.0  # pair budget = ceil(N * pairs_per_gaussian)
+
+    # Projection -------------------------------------------------------------
+    near_plane: float = 0.01  # near cull (reference: zFront < 1e-4 degenerate-vert
+    #   cull, shaders/gaussian_splat.metal:125-131)
+    cov2d_dilation: float = 0.3  # low-pass diagonal lift on the 2D covariance
+    #   (reference lifts by 1e-4, shaders/gaussian_splat.metal:161-163; 0.3 px is the
+    #   gsplat/3DGS anti-aliasing convention this framework's semantics follow)
+    sigma_extent: float = 3.0  # billboard extent in σ (reference: 3σ,
+    #   shaders/gaussian_splat.metal:173-174)
+
+    # Compositing ------------------------------------------------------------
+    alpha_clamp: float = 0.999  # max per-splat alpha (gsplat semantics)
+    alpha_skip: float = 1.0 / 255.0  # contributions below this are dropped
+    #   (reference uses 0.01, shaders/gaussian_splat_50layer.metal:156-157; 1/255 is
+    #   the gsplat convention — documented deviation per SURVEY §7)
+    transmittance_eps: float = 1e-6  # early chunk-skip threshold in the Pallas
+    #   kernel; semantics are defined with NO early-out (τ=0) so oracle and kernel
+    #   agree, and this only gates a skip whose error is ≤ τ
+
+    # SH ---------------------------------------------------------------------
+    sh_degree: int = 3  # active SH degree (reference parses all 45 f_rest coeffs
+    #   but only uses DC, ply_loader.cpp:9-20,76-82; we evaluate the full basis)
+
+    # Background -------------------------------------------------------------
+    background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+
+    # Backend ----------------------------------------------------------------
+    backend: str = "auto"  # "auto" | "pallas" | "jnp_tile" | "reference"
+
+    def tiles_x(self, width: int) -> int:
+        return -(-width // self.tile_size)
+
+    def tiles_y(self, height: int) -> int:
+        return -(-height // self.tile_size)
+
+    def num_tiles(self, width: int, height: int) -> int:
+        return self.tiles_x(width) * self.tiles_y(height)
+
+    def pair_budget(self, n_gaussians: int) -> int:
+        """Static pair-list capacity, rounded up to a chunk multiple."""
+        budget = int(n_gaussians * self.pairs_per_gaussian)
+        c = self.chunk_size
+        return -(-budget // c) * c
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop configuration (north-star config 5)."""
+
+    lr_means: float = 1.6e-4
+    lr_quats: float = 1e-3
+    lr_scales: float = 5e-3
+    lr_opacities: float = 5e-2
+    lr_sh: float = 2.5e-3
+    ssim_weight: float = 0.2  # loss = (1-w)*L1 + w*(1-SSIM), 3DGS convention
+    num_steps: int = 1000
+    checkpoint_every: int = 500
+    checkpoint_dir: Optional[str] = None

@@ -1,0 +1,129 @@
+"""GaussianModel — the trainable splat parameter pytree.
+
+TPU-native analogue of the reference's `SplatInstance` array
+(/root/reference/src/instanced_splat_renderer.h:6-11: rotation[4] wxyz, scale[3],
+position[3], color[4]) re-designed for training: parameters are stored RAW
+(log-scales, opacity logits, SH coefficients) and activated inside the forward
+pass, unlike the reference which irreversibly bakes `opacity = sigmoid(raw)`,
+`scale = exp(raw)` and SH-DC→RGB at load time
+(/root/reference/src/ply_loader.cpp:116-119,133-139 — SURVEY §7 flags this as a
+quirk not to replicate).
+
+As a flax.struct dataclass the model is a pytree: it jits, vmaps, shards with
+`NamedSharding` over the leading N axis, and optimizes with optax directly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gaussian_splat_tpu.ops import sh as sh_ops
+
+
+@struct.dataclass
+class GaussianModel:
+    means: jax.Array  # (N, 3) world positions
+    quats: jax.Array  # (N, 4) wxyz rotations (normalized in forward)
+    log_scales: jax.Array  # (N, 3) raw; scale = exp(log_scale)  [ply_loader.cpp:119]
+    opacity_logits: jax.Array  # (N,) raw; opacity = sigmoid(logit) [ply_loader.cpp:116-117]
+    sh: jax.Array  # (N, K, 3) SH coefficients, K = (degree+1)², band-ordered
+
+    @property
+    def num_gaussians(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def sh_degree(self) -> int:
+        return int(round(self.sh.shape[1] ** 0.5)) - 1
+
+    # -- activations --------------------------------------------------------
+    @property
+    def scales(self) -> jax.Array:
+        return jnp.exp(self.log_scales)
+
+    @property
+    def opacities(self) -> jax.Array:
+        return jax.nn.sigmoid(self.opacity_logits)
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        means,
+        quats,
+        log_scales,
+        opacity_logits,
+        sh,
+    ) -> "GaussianModel":
+        return cls(
+            means=jnp.asarray(means, jnp.float32),
+            quats=jnp.asarray(quats, jnp.float32),
+            log_scales=jnp.asarray(log_scales, jnp.float32),
+            opacity_logits=jnp.asarray(opacity_logits, jnp.float32),
+            sh=jnp.asarray(sh, jnp.float32),
+        )
+
+    @classmethod
+    def random(
+        cls,
+        key: jax.Array,
+        n: int,
+        sh_degree: int = 0,
+        extent: float = 1.0,
+        scale_range=(0.01, 0.1),
+        isotropic: bool = False,
+    ) -> "GaussianModel":
+        """Random scene generator for tests/benchmarks (the framework's synthetic
+        stand-in for the reference's hardcoded truck PLY, main.mm:69-70)."""
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        means = jax.random.uniform(k1, (n, 3), minval=-extent, maxval=extent)
+        if isotropic:
+            quats = jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 1))
+            ls = jax.random.uniform(
+                k2,
+                (n, 1),
+                minval=jnp.log(scale_range[0]),
+                maxval=jnp.log(scale_range[1]),
+            )
+            log_scales = jnp.tile(ls, (1, 3))
+        else:
+            quats = jax.random.normal(k2, (n, 4))
+            quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+            log_scales = jax.random.uniform(
+                k3,
+                (n, 3),
+                minval=jnp.log(scale_range[0]),
+                maxval=jnp.log(scale_range[1]),
+            )
+        opacity_logits = jax.random.uniform(k4, (n,), minval=-1.0, maxval=3.0)
+        K = sh_ops.num_sh_bases(sh_degree)
+        sh = jnp.zeros((n, K, 3))
+        dc = sh_ops.rgb_to_sh_dc(jax.random.uniform(k5, (n, 3), minval=0.1, maxval=0.9))
+        sh = sh.at[:, 0, :].set(dc)
+        if K > 1:
+            rest_key = jax.random.fold_in(k5, 1)
+            sh = sh.at[:, 1:, :].set(
+                0.1 * jax.random.normal(rest_key, (n, K - 1, 3))
+            )
+        return cls.create(means, quats, log_scales, opacity_logits, sh)
+
+    # -- filters ------------------------------------------------------------
+    def aabb_filter(self, radius: float) -> "GaussianModel":
+        """Keep splats with |x|,|y|,|z| < radius — optional scene-load clip
+        mirroring /root/reference/src/instanced_splat_renderer.mm:383-387.
+        Host-side (numpy) boolean compaction: not jittable, for load time only."""
+        import numpy as np
+
+        m = np.asarray(self.means)
+        keep = np.all(np.abs(m) < radius, axis=-1)
+        return GaussianModel(
+            means=jnp.asarray(m[keep]),
+            quats=jnp.asarray(np.asarray(self.quats)[keep]),
+            log_scales=jnp.asarray(np.asarray(self.log_scales)[keep]),
+            opacity_logits=jnp.asarray(np.asarray(self.opacity_logits)[keep]),
+            sh=jnp.asarray(np.asarray(self.sh)[keep]),
+        )

@@ -1,0 +1,187 @@
+"""EWA 3D→2D Gaussian projection: quat→R, Σ=MMᵀ, perspective Jacobian, culling.
+
+TPU-native re-derivation of the reference's vertex-shader math
+(/root/reference/shaders/gaussian_splat.metal:55-196): fully vectorized jnp over
+all N splats at once (no per-vertex shader), differentiable end-to-end so the
+rasterizer's custom VJP composes with plain autodiff through this stage.
+
+Math contract (with reference citations):
+  * quaternion (wxyz, normalized) → rotation matrix: gaussian_splat.metal:55-65
+  * Σ3D = (R·S)(R·S)ᵀ:                               gaussian_splat.metal:67-79
+  * Σview = W·Σ3D·Wᵀ, W = viewmat[:3,:3]:            gaussian_splat.metal:137-144
+  * perspective Jacobian J rows (fx/z, 0, −fx·x/z²), (0, fy/z, −fy·y/z²):
+                                                      gaussian_splat.metal:151-154
+  * 2×2 pixel covariance = J·Σview·Jᵀ + dilation·I:  gaussian_splat.metal:157-163
+  * closed-form symmetric 2×2 eigenvalues, radius = 3√λmax:
+                                                      gaussian_splat.metal:82-107,173-174
+  * near cull:                                        gaussian_splat.metal:125-131
+
+Deviations from the reference (documented per SURVEY §7): OpenCV +z-forward
+camera (no zFront = −z flip), a 0.3 px covariance dilation instead of 1e-4 (the
+gsplat anti-alias convention), and Jacobian-input clamping to 1.3× the frustum
+(3DGS convention; the reference has no equivalent and lets off-screen splats
+produce unstable Jacobians).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splat_tpu.camera import Camera
+
+
+class ProjectedGaussians(NamedTuple):
+    """Per-gaussian screen-space quantities. All shapes lead with N."""
+
+    means2d: jax.Array  # (N, 2) pixel coordinates of the projected center
+    conics: jax.Array  # (N, 3) upper-triangular inverse 2D covariance (A, B, C);
+    #   the falloff is σ(d) = 0.5·(A·dx² + C·dy²) + B·dx·dy
+    depths: jax.Array  # (N,) camera-space z (positive in front)
+    radii: jax.Array  # (N,) int32 extent in pixels (0 ⇒ culled)
+    valid: jax.Array  # (N,) bool — survives near/frustum/degeneracy culling
+    cov2d: jax.Array  # (N, 3) the (a, b, c) 2D covariance (pre-inverse), for debug
+
+
+def quat_to_rotmat(quats: jax.Array) -> jax.Array:
+    """(…,4) wxyz quaternions (not necessarily unit) → (…,3,3) rotations.
+
+    Same algebra as `quaternionToMatrix` (gaussian_splat.metal:55-65) but
+    normalizing here (the reference normalizes too) and batched.
+    """
+    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-8)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack(
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                axis=-1,
+            ),
+            jnp.stack(
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                axis=-1,
+            ),
+            jnp.stack(
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+                axis=-1,
+            ),
+        ],
+        axis=-2,
+    )
+
+
+def compute_cov3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
+    """Σ3D = (R·S)(R·S)ᵀ, returned as full (…,3,3) (gaussian_splat.metal:67-79)."""
+    R = quat_to_rotmat(quats)
+    M = R * scales[..., None, :]  # R @ diag(scales)
+    return M @ jnp.swapaxes(M, -1, -2)
+
+
+def project_gaussians(
+    means: jax.Array,  # (N, 3) world positions
+    quats: jax.Array,  # (N, 4) wxyz
+    scales: jax.Array,  # (N, 3) activated (positive) scales
+    camera: Camera,
+    *,
+    near_plane: float = 0.01,
+    cov2d_dilation: float = 0.3,
+    sigma_extent: float = 3.0,
+) -> ProjectedGaussians:
+    """Project all gaussians to screen space and cull.
+
+    Vectorized counterpart of the per-instance vertex shader
+    (gaussian_splat.metal:109-196). Differentiable w.r.t. means/quats/scales.
+    """
+    W = camera.rotation  # (3,3)
+    t = camera.translation  # (3,)
+    fx, fy, cx, cy = camera.fx, camera.fy, camera.cx, camera.cy
+    width, height = camera.width, camera.height
+
+    # --- view transform + near cull (gaussian_splat.metal:119-131) ---------
+    p_view = means @ W.T + t  # (N,3)
+    x, y, z = p_view[:, 0], p_view[:, 1], p_view[:, 2]
+    in_front = z > near_plane
+    zs = jnp.where(in_front, z, 1.0)  # safe denominator for culled splats
+
+    # --- 3D covariance in view space (gaussian_splat.metal:137-144) --------
+    cov3d = compute_cov3d(quats, scales)  # (N,3,3)
+    cov_view = jnp.einsum("ij,njk,lk->nil", W, cov3d, W)  # W Σ Wᵀ
+
+    # --- perspective Jacobian with frustum-clamped inputs ------------------
+    # (gaussian_splat.metal:147-154; the 1.3× clamp is the 3DGS stabilization)
+    lim_x = 1.3 * (0.5 * width / fx)
+    lim_y = 1.3 * (0.5 * height / fy)
+    tx = jnp.clip(x / zs, -lim_x, lim_x) * zs
+    ty = jnp.clip(y / zs, -lim_y, lim_y) * zs
+
+    inv_z = 1.0 / zs
+    inv_z2 = inv_z * inv_z
+    # J = [[fx/z, 0, -fx·tx/z²], [0, fy/z, -fy·ty/z²]]  (2,3) per gaussian
+    j00 = fx * inv_z
+    j02 = -fx * tx * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * ty * inv_z2
+
+    # cov2d = J · Σview · Jᵀ, expanded (avoids materializing (N,2,3) J):
+    # row0 of J·Σ = j00·Σ[0,:] + j02·Σ[2,:]; row1 = j11·Σ[1,:] + j12·Σ[2,:]
+    s00 = cov_view[:, 0, 0]
+    s01 = cov_view[:, 0, 1]
+    s02 = cov_view[:, 0, 2]
+    s11 = cov_view[:, 1, 1]
+    s12 = cov_view[:, 1, 2]
+    s22 = cov_view[:, 2, 2]
+    a = j00 * (j00 * s00 + j02 * s02) + j02 * (j00 * s02 + j02 * s22)
+    b = j00 * (j11 * s01 + j12 * s02) + j02 * (j11 * s12 + j12 * s22)
+    c = j11 * (j11 * s11 + j12 * s12) + j12 * (j11 * s12 + j12 * s22)
+
+    # diagonal low-pass lift (gaussian_splat.metal:161-163 uses 1e-4; we use the
+    # gsplat 0.3 px convention via cov2d_dilation)
+    a = a + cov2d_dilation
+    c = c + cov2d_dilation
+
+    # --- conic (inverse 2D covariance) -------------------------------------
+    det = a * c - b * b
+    det_ok = det > 1e-10
+    det_safe = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    # --- extent: closed-form symmetric 2×2 eigenvalues ---------------------
+    # (eigenSym2x2, gaussian_splat.metal:82-107; λ clamp mirrors :169-170)
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.1))
+    lambda_max = mid + disc
+    radius_f = sigma_extent * jnp.sqrt(jnp.maximum(lambda_max, 0.0))
+    radii = jnp.ceil(radius_f).astype(jnp.int32)
+
+    # --- projected center (pixels) -----------------------------------------
+    mean_x = fx * x * inv_z + cx
+    mean_y = fy * y * inv_z + cy
+    means2d = jnp.stack([mean_x, mean_y], axis=-1)
+
+    # --- frustum cull: tile rect must intersect the screen -----------------
+    on_screen = (
+        (mean_x + radius_f > 0)
+        & (mean_x - radius_f < width)
+        & (mean_y + radius_f > 0)
+        & (mean_y - radius_f < height)
+    )
+    valid = in_front & det_ok & on_screen & (radii > 0)
+    radii = jnp.where(valid, radii, 0)
+
+    return ProjectedGaussians(
+        means2d=means2d,
+        conics=conic,
+        depths=z,
+        radii=radii,
+        valid=valid,
+        cov2d=jnp.stack([a, b, c], axis=-1),
+    )
+
+
+def view_directions(means: jax.Array, camera: Camera) -> jax.Array:
+    """Unit directions camera-center → gaussian, for SH evaluation."""
+    d = means - camera.position
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True).clip(1e-8)

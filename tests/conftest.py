@@ -1,0 +1,20 @@
+"""Test environment: force CPU with 8 virtual devices so multi-chip sharding
+tests run on a single host (SURVEY §4: mesh-over-local-devices test strategy).
+
+Must run before the first `import jax` anywhere in the test session.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# NOTE: the JAX_PLATFORMS env var is overridden by the axon TPU plugin in this
+# image; jax.config.update is authoritative.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
