@@ -41,7 +41,10 @@ class RenderConfig:
     #   (reference lifts by 1e-4, shaders/gaussian_splat.metal:161-163; 0.3 px is the
     #   gsplat/3DGS anti-aliasing convention this framework's semantics follow)
     sigma_extent: float = 3.0  # billboard extent in σ (reference: 3σ,
-    #   shaders/gaussian_splat.metal:173-174)
+    #   shaders/gaussian_splat.metal:173-174). Contributions beyond this extent
+    #   (σ > sigma_cutoff) are zeroed in EVERY backend, so the oracle and the
+    #   tiled paths agree exactly: a pixel outside a splat's tile rect is
+    #   provably outside its extent ellipse.
 
     # Compositing ------------------------------------------------------------
     alpha_clamp: float = 0.999  # max per-splat alpha (gsplat semantics)
@@ -62,6 +65,11 @@ class RenderConfig:
     # Backend ----------------------------------------------------------------
     backend: str = "auto"  # "auto" | "pallas" | "jnp_tile" | "reference"
 
+    @property
+    def sigma_cutoff(self) -> float:
+        """Falloff-argument cutoff: σ(d) = 0.5·dᵀΣ⁻¹d > 0.5·extent² ⇒ no contribution."""
+        return 0.5 * self.sigma_extent**2
+
     def tiles_x(self, width: int) -> int:
         return -(-width // self.tile_size)
 
@@ -72,8 +80,14 @@ class RenderConfig:
         return self.tiles_x(width) * self.tiles_y(height)
 
     def pair_budget(self, n_gaussians: int) -> int:
-        """Static pair-list capacity, rounded up to a chunk multiple."""
-        budget = int(n_gaussians * self.pairs_per_gaussian)
+        """Static pair-list capacity, rounded up to a chunk multiple.
+
+        Small scenes get their exact worst case (N·max_tiles_per_gaussian) so
+        truncation can never occur; large scenes get the amortized
+        `pairs_per_gaussian` budget (with a floor), and overflow is reported by
+        `BinningResult.overflow`."""
+        worst = n_gaussians * self.max_tiles_per_gaussian
+        budget = min(worst, max(int(n_gaussians * self.pairs_per_gaussian), 4096))
         c = self.chunk_size
         return -(-budget // c) * c
 

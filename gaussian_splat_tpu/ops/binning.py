@@ -1,0 +1,189 @@
+"""Tile binning: depth sort, gaussian→tile pair expansion, segmented offsets.
+
+This is the TPU-native replacement for the reference's hardware rasterizer +
+per-pixel OIT lists (/root/reference/shaders/gaussian_splat_50layer.metal:149-223):
+instead of atomically appending fragments per pixel, we bin splats to 16×16 px
+tiles ahead of time and depth-sort once per frame, producing dense per-tile
+segments that the rasterization kernels stream sequentially. Everything is
+static-shape (XLA requirement): capacities come from RenderConfig, and overflow
+is accounted explicitly (`BinningResult.overflow`) rather than silently dropped
+the way the reference drops fragments past its 50-slot cap
+(gaussian_splat_50layer.metal:172).
+
+Design notes (SURVEY §7 hard part (b)):
+  * Gaussians are depth-sorted FIRST (argsort over N), so pair generation emits
+    pairs already in depth order; a single *stable* sort by tile id then yields
+    per-tile front-to-back segments — no second sort key needed.
+  * Each tile's segment start is aligned to a multiple of `chunk_size` so the
+    Pallas kernels' chunk DMAs (and chunk-grain writes in the backward pass)
+    never straddle two tiles.
+  * Oversized gaussians have their tile rect shrunk isotropically to fit
+    `max_tiles_per_gaussian` (area-preserving center crop) — a bounded
+    approximation for extreme near-camera splats, reported via `clamped_rects`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splat_tpu.config import RenderConfig
+from gaussian_splat_tpu.ops.projection import ProjectedGaussians
+
+
+class BinningResult(NamedTuple):
+    order: jax.Array  # (N,) depth argsort: sorted_i -> original gaussian index
+    pair_gauss: jax.Array  # (B_pad,) index into the *depth-sorted* gaussian arrays
+    #   (clamped to 0 on padding rows — mask with pair_tile)
+    pair_tile: jax.Array  # (B_pad,) tile id, == num_tiles on padding rows
+    tile_offsets: jax.Array  # (T,) int32 aligned segment start per tile
+    tile_counts: jax.Array  # (T,) int32 actual (unpadded) pairs per tile
+    num_pairs: jax.Array  # () int32 valid pairs before budget truncation
+    overflow: jax.Array  # () int32 pairs dropped by the budget
+    clamped_rects: jax.Array  # () int32 gaussians whose tile rect was shrunk
+
+
+def tile_rects(
+    means2d: jax.Array,
+    radii: jax.Array,
+    valid: jax.Array,
+    width: int,
+    height: int,
+    config: RenderConfig,
+):
+    """Per-gaussian tile rectangle [tx0,tx1)×[ty0,ty1), capped to the per-gaussian
+    tile budget. Returns (tx0, ty0, rect_w, rect_h, clamped_count)."""
+    ts = config.tile_size
+    tx_n = config.tiles_x(width)
+    ty_n = config.tiles_y(height)
+
+    r = radii.astype(jnp.float32)
+    mx, my = means2d[:, 0], means2d[:, 1]
+
+    tx0 = jnp.clip(jnp.floor((mx - r) / ts), 0, tx_n).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.ceil((mx + r) / ts), 0, tx_n).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((my - r) / ts), 0, ty_n).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.ceil((my + r) / ts), 0, ty_n).astype(jnp.int32)
+
+    w = jnp.where(valid, tx1 - tx0, 0)
+    h = jnp.where(valid, ty1 - ty0, 0)
+    area = w * h
+
+    # shrink oversized rects isotropically around the center tile:
+    # floor(w·s)·floor(h·s) ≤ w·h·(K/area) = K for s = sqrt(K/area)
+    K = config.max_tiles_per_gaussian
+    needs_clamp = area > K
+    s = jnp.sqrt(K / jnp.maximum(area, 1).astype(jnp.float32))
+    w_c = jnp.maximum((w.astype(jnp.float32) * s).astype(jnp.int32), 1)
+    h_c = jnp.maximum((h.astype(jnp.float32) * s).astype(jnp.int32), 1)
+    # re-center the shrunk rect on the tile containing the mean
+    cx = jnp.clip(jnp.floor(mx / ts).astype(jnp.int32), 0, tx_n - 1)
+    cy = jnp.clip(jnp.floor(my / ts).astype(jnp.int32), 0, ty_n - 1)
+    tx0_c = jnp.clip(cx - (w_c - 1) // 2, 0, tx_n - w_c)
+    ty0_c = jnp.clip(cy - (h_c - 1) // 2, 0, ty_n - h_c)
+
+    tx0 = jnp.where(needs_clamp, tx0_c, tx0)
+    ty0 = jnp.where(needs_clamp, ty0_c, ty0)
+    w = jnp.where(needs_clamp, w_c, w)
+    h = jnp.where(needs_clamp, h_c, h)
+    w = jnp.where(valid, w, 0)
+    h = jnp.where(valid, h, 0)
+
+    clamped = jnp.sum((needs_clamp & valid).astype(jnp.int32))
+    return tx0, ty0, w, h, clamped
+
+
+def bin_gaussians(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    config: RenderConfig,
+) -> BinningResult:
+    """Full binning pass. All shapes static; jit-safe."""
+    ts = config.tile_size
+    tx_n = config.tiles_x(width)
+    ty_n = config.tiles_y(height)
+    num_tiles = tx_n * ty_n
+    n = proj.means2d.shape[0]
+    K = config.max_tiles_per_gaussian
+    chunk = config.chunk_size
+    budget = config.pair_budget(n)
+    b_pad = budget + num_tiles * chunk  # worst-case alignment padding
+
+    # --- 1. depth sort (near → far); culled splats sort last ----------------
+    depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
+    order = jnp.argsort(depth_key)
+    means2d = proj.means2d[order]
+    radii = proj.radii[order]
+    valid = proj.valid[order]
+
+    # --- 2. tile rects ------------------------------------------------------
+    tx0, ty0, w, h, clamped = tile_rects(means2d, radii, valid, width, height, config)
+    area = w * h
+
+    # --- 3. pair expansion (N, K): k-th tile of each gaussian, row-major ----
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
+    w_safe = jnp.maximum(w, 1)[:, None]
+    dy = k // w_safe
+    dx = k % w_safe
+    tile = (ty0[:, None] + dy) * tx_n + (tx0[:, None] + dx)  # (N, K)
+    pair_ok = k < area[:, None]
+    tile_key = jnp.where(pair_ok, tile, num_tiles).astype(jnp.int32)
+
+    flat_keys = tile_key.reshape(-1)  # (N·K,) — already depth-ordered per tile
+    flat_gauss = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, K)
+    ).reshape(-1)
+
+    num_pairs = jnp.sum(pair_ok.astype(jnp.int32))
+
+    # --- 4. single stable sort by tile id (preserves depth order) -----------
+    sorted_keys, sorted_gauss = jax.lax.sort(
+        (flat_keys, flat_gauss), dimension=0, is_stable=True, num_keys=1
+    )
+
+    # --- 5. truncate to the static pair budget ------------------------------
+    sorted_keys = sorted_keys[:budget]
+    sorted_gauss = sorted_gauss[:budget]
+    overflow = jnp.maximum(num_pairs - budget, 0)
+
+    # --- 6. per-tile segment boundaries -------------------------------------
+    boundaries = jnp.searchsorted(
+        sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    counts = boundaries[1:] - boundaries[:-1]  # (T,)
+    raw_offsets = boundaries[:-1]
+
+    # --- 7. chunk-align segments via scatter --------------------------------
+    aligned_sizes = ((counts + chunk - 1) // chunk) * chunk
+    aligned_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_sizes)[:-1].astype(jnp.int32)]
+    )
+
+    pos = jnp.arange(budget, dtype=jnp.int32)
+    pair_valid = sorted_keys < num_tiles
+    tile_of_pair = jnp.minimum(sorted_keys, num_tiles - 1)
+    dest = aligned_offsets[tile_of_pair] + (pos - raw_offsets[tile_of_pair])
+    dest = jnp.where(pair_valid, dest, b_pad)  # OOB → dropped by scatter
+
+    pair_gauss = (
+        jnp.zeros((b_pad,), jnp.int32).at[dest].set(sorted_gauss, mode="drop")
+    )
+    pair_tile = (
+        jnp.full((b_pad,), num_tiles, jnp.int32)
+        .at[dest]
+        .set(sorted_keys, mode="drop")
+    )
+
+    return BinningResult(
+        order=order,
+        pair_gauss=pair_gauss,
+        pair_tile=pair_tile,
+        tile_offsets=aligned_offsets,
+        tile_counts=counts,
+        num_pairs=num_pairs,
+        overflow=overflow,
+        clamped_rects=clamped,
+    )

@@ -55,7 +55,12 @@ def composite_sorted(
 
     alpha_raw = opacities[:, None, None] * jnp.exp(-sigma)
     alpha = jnp.minimum(alpha_raw, config.alpha_clamp)
-    keep = (sigma >= 0.0) & (alpha >= config.alpha_skip) & valid[:, None, None]
+    keep = (
+        (sigma >= 0.0)
+        & (sigma <= config.sigma_cutoff)
+        & (alpha >= config.alpha_skip)
+        & valid[:, None, None]
+    )
     alpha = jnp.where(keep, alpha, 0.0)
 
     trans = jnp.cumprod(1.0 - alpha, axis=0)  # inclusive

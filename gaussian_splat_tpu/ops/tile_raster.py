@@ -1,0 +1,143 @@
+"""Tile rasterizer in pure jnp: segmented log-space compositing over the pair list.
+
+The mid-level backend: uses the exact same binning output as the Pallas kernels
+but composites with vectorized jnp (segmented cumulative sums + scatter-add), so
+it runs anywhere (CPU tests, interpret mode) and is differentiable end-to-end by
+plain autodiff. It validates the binning machinery against the oracle and serves
+as the semantic bridge: oracle ⟺ jnp_tile (same math, different data layout)
+⟺ pallas (same layout, fused kernels).
+
+Per-tile transmittance is a segmented exclusive prefix product over the pair
+list, computed as exp(segmented-cumsum(log1p(−α))) — the same log-space trick
+the Pallas kernel maps onto the MXU via triangular matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_splat_tpu.config import RenderConfig
+from gaussian_splat_tpu.ops.binning import BinningResult, bin_gaussians
+from gaussian_splat_tpu.ops.projection import ProjectedGaussians
+
+
+def tiles_to_image(
+    tiles: jax.Array, tx_n: int, ty_n: int, width: int, height: int, ts: int
+) -> jax.Array:
+    """(T, ts·ts, C) tile-major pixels → (H, W, C) image (cropped)."""
+    c = tiles.shape[-1]
+    img = tiles.reshape(ty_n, tx_n, ts, ts, c)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(ty_n * ts, tx_n * ts, c)
+    return img[:height, :width]
+
+
+def composite_pairs(
+    pair_tile: jax.Array,  # (B,) tile id (num_tiles = padding sentinel)
+    means2d_p: jax.Array,  # (B, 2) per-pair gathered features
+    conics_p: jax.Array,  # (B, 3)
+    colors_p: jax.Array,  # (B, 3)
+    opac_p: jax.Array,  # (B,)
+    valid_p: jax.Array,  # (B,) bool
+    tile_offsets: jax.Array,  # (T,)
+    num_tiles_x: int,
+    num_tiles: int,
+    config: RenderConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Composite the pair list into (T, ts², 3) tile colors and (T, ts²) T_final."""
+    ts = config.tile_size
+    npix = ts * ts
+    b = pair_tile.shape[0]
+
+    # pixel centers of each pair's tile: (B, npix)
+    lane = jnp.arange(npix, dtype=jnp.float32)
+    col = jnp.mod(lane, ts)
+    row = jnp.floor_divide(lane, ts)
+    tile_x = (pair_tile % num_tiles_x).astype(jnp.float32)
+    tile_y = (pair_tile // num_tiles_x).astype(jnp.float32)
+    px = tile_x[:, None] * ts + col[None, :] + 0.5  # (B, npix)
+    py = tile_y[:, None] * ts + row[None, :] + 0.5
+
+    dx = px - means2d_p[:, 0:1]
+    dy = py - means2d_p[:, 1:2]
+    A, Bc, C = conics_p[:, 0:1], conics_p[:, 1:2], conics_p[:, 2:3]
+    sigma = 0.5 * (A * dx * dx + C * dy * dy) + Bc * dx * dy
+
+    alpha_raw = opac_p[:, None] * jnp.exp(-sigma)
+    alpha = jnp.minimum(alpha_raw, config.alpha_clamp)
+    keep = (
+        (sigma >= 0.0)
+        & (sigma <= config.sigma_cutoff)
+        & (alpha >= config.alpha_skip)
+        & valid_p[:, None]
+    )
+    alpha = jnp.where(keep, alpha, 0.0)
+
+    # segmented exclusive prefix product along the pair axis, in log space.
+    la = jnp.log1p(-alpha)  # (B, npix); padding rows contribute exactly 0
+    cum = jnp.cumsum(la, axis=0)
+    excl = cum - la
+    seg_start = excl[tile_offsets.clip(0, b - 1)]  # (T, npix) cumsum before segment
+    t_excl = jnp.exp(excl - seg_start[pair_tile.clip(0, num_tiles - 1)])
+    weights = alpha * t_excl  # (B, npix)
+
+    # scatter-add into tiles; sentinel rows land in a trash bucket T.
+    tiles_rgb = (
+        jnp.zeros((num_tiles + 1, npix, 3))
+        .at[pair_tile]
+        .add(weights[..., None] * colors_p[:, None, :])
+    )[:num_tiles]
+    la_tot = (
+        jnp.zeros((num_tiles + 1, npix)).at[pair_tile].add(la)
+    )[:num_tiles]
+    t_final = jnp.exp(la_tot)
+    return tiles_rgb, t_final
+
+
+def render_tiled(
+    proj: ProjectedGaussians,
+    colors: jax.Array,
+    opacities: jax.Array,
+    width: int,
+    height: int,
+    config: RenderConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full tiled render: bin → gather pair features → composite → assemble."""
+    ts = config.tile_size
+    tx_n = config.tiles_x(width)
+    ty_n = config.tiles_y(height)
+    num_tiles = tx_n * ty_n
+
+    binning = bin_gaussians(proj, width, height, config)
+
+    order = binning.order
+    g = binning.pair_gauss  # index into depth-sorted arrays
+    valid_p = binning.pair_tile < num_tiles
+
+    means2d_p = proj.means2d[order][g]
+    conics_p = proj.conics[order][g]
+    colors_p = colors[order][g]
+    opac_p = opacities[order][g]
+
+    tiles_rgb, t_final_tiles = composite_pairs(
+        binning.pair_tile,
+        means2d_p,
+        conics_p,
+        colors_p,
+        opac_p,
+        valid_p,
+        binning.tile_offsets,
+        tx_n,
+        num_tiles,
+        config,
+    )
+
+    image = tiles_to_image(tiles_rgb, tx_n, ty_n, width, height, ts)
+    t_final = tiles_to_image(t_final_tiles[..., None], tx_n, ty_n, width, height, ts)[
+        ..., 0
+    ]
+    bg = jnp.asarray(config.background, jnp.float32)
+    image = image + t_final[..., None] * bg
+    return image, t_final

