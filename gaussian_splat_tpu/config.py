@@ -25,7 +25,8 @@ class RenderConfig:
     # Tiling -----------------------------------------------------------------
     tile_size: int = 16  # pixels per tile edge (the unused imageblock prototype in
     #   the reference also chose 16×16 tiles, shaders/gaussian_splat_types.h:7-9)
-    chunk_size: int = 64  # gaussians processed per MXU chunk inside the tile kernel;
+    chunk_size: int = 128  # gaussians processed per MXU chunk inside the tile kernel
+    #   (must be a multiple of the 128-lane width so chunk DMAs are lane-aligned);
     #   tile segments are padded to a multiple of this so chunk DMAs never cross tiles
 
     # Binning capacities (static shapes on a shape-static compiler) ----------

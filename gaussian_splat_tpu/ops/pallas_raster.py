@@ -11,23 +11,32 @@ fragment lists + per-pixel insertion sort) re-thought for the MXU:
   * Compositing is reformulated so the sequential front-to-back recurrence
     becomes dense linear algebra:
         T_i = T_in · exp( Σ_{j<i, chunk} log1p(−α_j) )
-    i.e. an exclusive prefix-sum in log space, computed for a whole chunk at
-    once as a strictly-lower-triangular (G×G) matmul on the MXU; the color
-    accumulation Σ_i c_i·α_i·T_i is a second (3×G)·(G×P) matmul.
-  * The backward pass needs the suffix sums Σ_{j>i} — rewritten via
+    i.e. an exclusive prefix-sum in log space, computed for a whole 128-gaussian
+    chunk at once as a (P×G)·(G×G) strictly-triangular matmul on the MXU; the
+    color accumulation Σ_i c_i·α_i·T_i is a second (P×G)·(G×3) matmul.
+  * The backward pass needs suffix sums Σ_{j>i} — rewritten via
     Σ_{j>i} x_j = X_total − Σ_{j≤i} x_j so it walks front-to-back in ONE pass
     (the gsplat CUDA kernel walks back-to-front instead), reusing the forward's
     chunk structure and the saved per-tile outputs (C, T_final) as residuals.
 
-Layout: pair features are pre-gathered (outside the kernel, so JAX autodiff of
-the gather handles the per-gaussian scatter-add of gradients) into a
-(B_pad, 16) f32 array — [mx, my, A, B, C, r, g, b, opacity, pad×7] — whose
-per-tile segments are chunk-aligned by the binning pass, so every DMA is a
-contiguous, aligned (G, 16) block and backward chunk writes never straddle two
-tiles' segments.
+Memory layout (driven by Mosaic's lane-alignment rules — DMA slices must be
+128-aligned in the minor dimension):
 
-Per-tile outputs are (8, P) blocks (P = tile_size², lane-aligned): rows 0-2 RGB,
-row 3 T_final, rows 4-7 zero padding to the f32 sublane tile.
+  * Pair features are FEATURE-MAJOR: (16, B_pad) f32 — rows
+    [mx, my, A, B, C, r, g, b, opacity, pad×7], pairs on lanes. A chunk DMA is
+    a (16, 128) slice whose lane offset is 128-aligned because binning aligns
+    every tile segment to the 128-pair chunk size.
+  * In-kernel compute is pixels-on-sublanes / gaussians-on-lanes: (P=256, G=128)
+    arrays, so feature rows (1, G) and pixel-coordinate columns (P, 1) broadcast
+    without relayouts.
+  * Tile outputs are (NROW=8, P): rows 0-2 RGB, row 3 T_final. The single
+    (P, 8)→(8, P) transpose per tile is done as an identity matmul (Mosaic-safe,
+    ~0.5 MFLOP — noise next to the compositing matmuls).
+
+The per-pair gradient array is produced in the same transposed layout and the
+pure-JAX wrapper transposes/gathers it back; autodiff of the pair gather turns
+into the per-gaussian scatter-add, so only the rasterization itself needs the
+hand-written VJP.
 """
 
 from __future__ import annotations
@@ -46,7 +55,7 @@ from gaussian_splat_tpu.ops.binning import bin_gaussians
 from gaussian_splat_tpu.ops.projection import ProjectedGaussians
 from gaussian_splat_tpu.ops.tile_raster import tiles_to_image
 
-NFEAT = 16  # padded feature row: mx,my,A,B,C,r,g,b,op + 7 pad
+NFEAT = 16  # feature rows: mx,my,A,B,C,r,g,b,op + 7 pad
 NROW = 8  # output rows per tile: r,g,b,T_final + 4 pad (f32 sublane tile)
 
 
@@ -56,7 +65,7 @@ class RasterStatics(NamedTuple):
     tile_size: int
     tiles_x: int
     tiles_y: int
-    chunk: int
+    chunk: int  # must be 128 (lane width): binning aligns segments to this
     alpha_clamp: float
     alpha_skip: float
     sigma_cutoff: float
@@ -65,36 +74,36 @@ class RasterStatics(NamedTuple):
 
 
 def _pixel_coords(static: RasterStatics, tile_id):
-    """Pixel-center coordinates of a tile as (1, P) rows (P = ts²)."""
+    """Pixel-center coordinates of a tile as (P, 1) columns (P = ts²)."""
     ts = static.tile_size
     npix = ts * ts
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+    p = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
     tx = tile_id % static.tiles_x
     ty = tile_id // static.tiles_x
-    px = (tx * ts + lane % ts).astype(jnp.float32) + 0.5
-    py = (ty * ts + lane // ts).astype(jnp.float32) + 0.5
+    px = (tx * ts + p % ts).astype(jnp.float32) + 0.5
+    py = (ty * ts + p // ts).astype(jnp.float32) + 0.5
     return px, py
 
 
 def _chunk_alpha(static: RasterStatics, f, px, py, base, cnt):
-    """Shared forward math for one (G, NFEAT) feature chunk.
+    """Shared forward math for one (NFEAT, G) feature chunk.
 
-    Returns (alpha, la, extras) with alpha/la of shape (G, P).
+    Returns (alpha, la, extras); alpha/la have shape (P, G).
     """
     g = static.chunk
-    mx = f[:, 0:1]
-    my = f[:, 1:2]
-    A = f[:, 2:3]
-    B = f[:, 3:4]
-    C = f[:, 4:5]
-    op = f[:, 8:9]
+    mx = f[0:1, :]  # (1, G) — broadcasts against (P, 1) coords
+    my = f[1:2, :]
+    A = f[2:3, :]
+    B = f[3:4, :]
+    C = f[4:5, :]
+    op = f[8:9, :]
 
-    dx = px - mx  # (G, P)
+    dx = px - mx  # (P, G)
     dy = py - my
     sigma = 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy
 
-    row = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0) + base
-    row_valid = row < cnt
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1) + base
+    row_valid = lane < cnt  # (1, G)
 
     alpha_raw = op * jnp.exp(-sigma)
     keep = (
@@ -109,11 +118,26 @@ def _chunk_alpha(static: RasterStatics, f, px, py, base, cnt):
 
 
 def _tri_matrices(g: int):
+    """Right-multiplication prefix matrices: (X @ M)[:, i] = Σ_{j<i} X[:, j]."""
     r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    strict_lower = (r > c).astype(jnp.float32)  # exclusive prefix
-    lower = (r >= c).astype(jnp.float32)  # inclusive prefix
-    return strict_lower, lower
+    strict_upper = (r < c).astype(jnp.float32)  # exclusive prefix
+    upper = (r <= c).astype(jnp.float32)  # inclusive prefix
+    return strict_upper, upper
+
+
+def _matmul(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+
+
+def _transpose_mm(x):
+    """(m, n) → (n, m) via identity matmul — avoids Mosaic relayout transposes."""
+    n = x.shape[1]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ).astype(jnp.float32)
+    return _matmul(eye, x, (((1,), (1,))))  # (n, m)
 
 
 # ---------------------------------------------------------------------------
@@ -121,7 +145,7 @@ def _tri_matrices(g: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, fbuf, sem):
+def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, fbuf, acc, sem):
     g = static.chunk
     npix = static.tile_size * static.tile_size
     t = pl.program_id(0)
@@ -130,13 +154,17 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
     nchunks = pl.cdiv(cnt, g)
 
     px, py = _pixel_coords(static, t)
-    strict_lower, _ = _tri_matrices(g)
+    strict_upper, _ = _tri_matrices(g)
 
-    out_ref[:, :] = jnp.zeros((NROW, npix), jnp.float32)
+    # acc: (P, 8) — cols 0-2 RGB, col 3 running log-transmittance
+    acc[:, :] = jnp.zeros((npix, NROW), jnp.float32)
 
     def dma(slot, i):
+        # binning chunk-aligns every segment, so off + i·g is a lane multiple;
+        # pl.multiple_of lets Mosaic prove the slice is 128-aligned
+        start = pl.multiple_of(off + i * g, g)
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(off + i * g, g), :],
+            feats_hbm.at[:, pl.ds(start, g)],
             fbuf.at[slot],
             sem.at[slot],
         )
@@ -145,7 +173,7 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
     def _():
         dma(0, 0).start()
 
-    log_eps = np.log(max(static.trans_eps, 1e-30)).astype(np.float32)
+    log_eps = np.float32(np.log(max(static.trans_eps, 1e-30)))
 
     def body(i, logT):
         slot = jax.lax.rem(i, 2)
@@ -161,33 +189,23 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
 
         @pl.when(live)
         def _():
-            f = fbuf[slot]  # (G, NFEAT)
+            f = fbuf[slot]  # (NFEAT, G)
             alpha, la, _ = _chunk_alpha(static, f, px, py, i * g, cnt)
-            excl = jax.lax.dot_general(
-                strict_lower,
-                la,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (G, P) exclusive log-prefix within chunk
-            t_in = jnp.exp(out_ref[3:4, :])  # (1, P) running transmittance
-            w = alpha * jnp.exp(excl) * t_in  # (G, P) weights α_i·T_i
-            rgb = f[:, 5:8]  # (G, 3)
-            delta = jax.lax.dot_general(
-                rgb,
-                w,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (3, P)
-            out_ref[0:3, :] = out_ref[0:3, :] + delta
-            out_ref[3:4, :] = out_ref[3:4, :] + jnp.sum(la, axis=0, keepdims=True)
+            excl = _matmul(la, strict_upper, ((1,), (0,)))  # (P, G)
+            t_in = jnp.exp(acc[:, 3:4])  # (P, 1)
+            w = alpha * jnp.exp(excl) * t_in  # (P, G): α_i · T_i
+            colors = f[5:8, :]  # (3, G)
+            delta = _matmul(w, colors, ((1,), (1,)))  # (P, 3)
+            acc[:, 0:3] = acc[:, 0:3] + delta
+            acc[:, 3:4] = acc[:, 3:4] + jnp.sum(la, axis=1, keepdims=True)
 
-        new_logT = jnp.where(live, jnp.max(out_ref[3:4, :]), logT)
+        new_logT = jnp.where(live, jnp.max(acc[:, 3:4]), logT)
         return new_logT
 
     jax.lax.fori_loop(0, nchunks, body, jnp.float32(0.0))
 
-    # row 3 held log T — exponentiate in place
-    out_ref[3:4, :] = jnp.exp(out_ref[3:4, :])
+    acc[:, 3:4] = jnp.exp(acc[:, 3:4])
+    out_ref[:, :] = _transpose_mm(acc[:, :])  # (8, P)
 
 
 def _raster_forward(pair_feats, offsets, counts, static: RasterStatics):
@@ -198,12 +216,13 @@ def _raster_forward(pair_feats, offsets, counts, static: RasterStatics):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
             (NROW, npix), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, g, NFEAT), jnp.float32),
+            pltpu.VMEM((2, NFEAT, g), jnp.float32),
+            pltpu.VMEM((npix, NROW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -227,12 +246,12 @@ def _bwd_kernel(
     feats_hbm,
     fwd_out_ref,  # (NROW, P) VMEM block: forward result for this tile
     cot_ref,  # (NROW, P) VMEM block: cotangent (rows 0-2 dC, row 3 dT_final)
-    dfeats_hbm,  # output (B_pad, NFEAT) ANY
+    dfeats_hbm,  # output (NFEAT, B_pad) HBM
     fbuf,
     gbuf,
+    state,  # VMEM (P, 8): col 0 log T, col 1 prefix accumulator
     sem,
     gsem,
-    state,  # VMEM (2, P): row0 logT, row1 P-prefix accumulator
 ):
     g = static.chunk
     npix = static.tile_size * static.tile_size
@@ -242,29 +261,32 @@ def _bwd_kernel(
     nchunks = pl.cdiv(cnt, g)
 
     px, py = _pixel_coords(static, t)
-    strict_lower, lower = _tri_matrices(g)
+    strict_upper, upper = _tri_matrices(g)
 
-    gC = cot_ref[0:3, :]  # (3, P)
-    g_tf = cot_ref[3:4, :]  # (1, P)
-    c_total = fwd_out_ref[0:3, :]
-    t_final = fwd_out_ref[3:4, :]
-    # Q = gC·C_total + g_Tf·T_final  (1, P)
-    q = jnp.sum(gC * c_total, axis=0, keepdims=True) + g_tf * t_final
+    cot_t = _transpose_mm(cot_ref[:, :])  # (P, 8)
+    fwd_t = _transpose_mm(fwd_out_ref[:, :])  # (P, 8)
+    gC = cot_t[:, 0:3]  # (P, 3)
+    g_tf = cot_t[:, 3:4]  # (P, 1)
+    c_total = fwd_t[:, 0:3]
+    t_final = fwd_t[:, 3:4]
+    # Q = gC·C_total + g_Tf·T_final  (P, 1)
+    q = jnp.sum(gC * c_total, axis=1, keepdims=True) + g_tf * t_final
 
-    state[0:1, :] = jnp.zeros((1, npix), jnp.float32)  # log T
-    state[1:2, :] = jnp.zeros((1, npix), jnp.float32)  # prefix P
+    state[:, :] = jnp.zeros((npix, NROW), jnp.float32)
 
     def dma_in(slot, i):
+        start = pl.multiple_of(off + i * g, g)
         return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(off + i * g, g), :],
+            feats_hbm.at[:, pl.ds(start, g)],
             fbuf.at[slot],
             sem.at[slot],
         )
 
     def dma_out(slot, i):
+        start = pl.multiple_of(off + i * g, g)
         return pltpu.make_async_copy(
             gbuf.at[slot],
-            dfeats_hbm.at[pl.ds(off + i * g, g), :],
+            dfeats_hbm.at[:, pl.ds(start, g)],
             gsem.at[slot],
         )
 
@@ -281,7 +303,7 @@ def _bwd_kernel(
 
         dma_in(slot, i).wait()
 
-        # wait for the previous output DMA that used this slot
+        # wait for the prior output DMA that used this gbuf slot
         @pl.when(i >= 2)
         def _():
             dma_out(slot, i - 2).wait()
@@ -291,26 +313,18 @@ def _bwd_kernel(
             static, f, px, py, i * g, cnt
         )
 
-        excl = jax.lax.dot_general(
-            strict_lower, la, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        t_i = jnp.exp(state[0:1, :] + excl)  # (G, P) transmittance before i
-        w = alpha * t_i  # α_i·T_i
+        excl = _matmul(la, strict_upper, ((1,), (0,)))
+        t_i = jnp.exp(state[:, 0:1] + excl)  # (P, G) transmittance before i
+        w = alpha * t_i
 
-        rgb = f[:, 5:8]
-        v = jax.lax.dot_general(
-            rgb, gC, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (G, P) = gC·c_i per pixel
+        colors = f[5:8, :]  # (3, G)
+        v = _matmul(gC, colors, ((1,), (0,)))  # (P, G) = gC·c_i per pixel
         contrib = v * w
-        incl = state[1:2, :] + jax.lax.dot_general(
-            lower, contrib, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (G, P) inclusive prefix Σ_{j≤i} v_j α_j T_j
+        incl = state[:, 1:2] + _matmul(contrib, upper, ((1,), (0,)))
+        # (P, G) inclusive prefix Σ_{j≤i} v_j α_j T_j
 
-        one_minus_a = 1.0 - alpha  # ≥ 1 - alpha_clamp > 0
-        da = v * t_i - (q - incl) / one_minus_a  # (G, P)
+        one_minus_a = 1.0 - alpha  # ≥ 1 − alpha_clamp > 0
+        da = v * t_i - (q - incl) / one_minus_a  # (P, G)
 
         # chain through α = min(α_raw, clamp) with masks
         grad_live = keep & (alpha_raw < static.alpha_clamp)
@@ -318,33 +332,29 @@ def _bwd_kernel(
         dop_pix = da * jnp.exp(-sigma)
         dsigma = -da * alpha_raw  # d(op·e^{-σ})/dσ = −α_raw
 
-        A = f[:, 2:3]
-        B = f[:, 3:4]
-        C = f[:, 4:5]
+        A = f[2:3, :]
+        B = f[3:4, :]
+        C = f[4:5, :]
         ddx = dsigma * (A * dx + B * dy)
         ddy = dsigma * (C * dy + B * dx)
 
-        dmx = -jnp.sum(ddx, axis=1, keepdims=True)  # (G,1)
-        dmy = -jnp.sum(ddy, axis=1, keepdims=True)
-        dA = jnp.sum(dsigma * 0.5 * dx * dx, axis=1, keepdims=True)
-        dB = jnp.sum(dsigma * dx * dy, axis=1, keepdims=True)
-        dC = jnp.sum(dsigma * 0.5 * dy * dy, axis=1, keepdims=True)
-        dop = jnp.sum(dop_pix, axis=1, keepdims=True)
-        # drgb: weights w are masked by keep already (α=0 ⇒ w=0)
-        drgb = jax.lax.dot_general(
-            w, gC, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (G, 3)
+        dmx = -jnp.sum(ddx, axis=0, keepdims=True)  # (1, G)
+        dmy = -jnp.sum(ddy, axis=0, keepdims=True)
+        dA = jnp.sum(dsigma * 0.5 * dx * dx, axis=0, keepdims=True)
+        dB = jnp.sum(dsigma * dx * dy, axis=0, keepdims=True)
+        dC = jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
+        dop = jnp.sum(dop_pix, axis=0, keepdims=True)
+        drgb = _matmul(gC, w, ((0,), (0,)))  # (3, G): Σ_p gC(p,c)·w(p,g)
 
-        zeros7 = jnp.zeros((g, NFEAT - 9), jnp.float32)
+        zeros7 = jnp.zeros((NFEAT - 9, g), jnp.float32)
         gbuf[slot] = jnp.concatenate(
-            [dmx, dmy, dA, dB, dC, drgb, dop, zeros7], axis=1
+            [dmx, dmy, dA, dB, dC, drgb, dop, zeros7], axis=0
         )
         dma_out(slot, i).start()
 
         # advance carried state
-        state[0:1, :] = state[0:1, :] + jnp.sum(la, axis=0, keepdims=True)
-        state[1:2, :] = incl[g - 1 : g, :]
+        state[:, 0:1] = state[:, 0:1] + jnp.sum(la, axis=1, keepdims=True)
+        state[:, 1:2] = incl[:, g - 1 : g]
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -363,29 +373,29 @@ def _raster_backward(pair_feats, offsets, counts, fwd_out, cot, static: RasterSt
     num_tiles = static.tiles_x * static.tiles_y
     npix = static.tile_size * static.tile_size
     g = static.chunk
-    b_pad = pair_feats.shape[0]
+    b_pad = pair_feats.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((NROW, npix), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((NROW, npix), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, g, NFEAT), jnp.float32),
-            pltpu.VMEM((2, g, NFEAT), jnp.float32),
+            pltpu.VMEM((2, NFEAT, g), jnp.float32),
+            pltpu.VMEM((2, NFEAT, g), jnp.float32),
+            pltpu.VMEM((npix, NROW), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, npix), jnp.float32),
         ],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, static),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b_pad, NFEAT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((NFEAT, b_pad), jnp.float32),
         interpret=static.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(offsets, counts, pair_feats, fwd_out, cot)
@@ -409,9 +419,9 @@ def _raster_fwd(pair_feats, offsets, counts, static):
 def _raster_bwd(static, residuals, cot):
     pair_feats, offsets, counts, fwd_out = residuals
     d_feats = _raster_backward(pair_feats, offsets, counts, fwd_out, cot, static)
-    zero_i32 = np.zeros(offsets.shape, dtype=jax.dtypes.float0)
+    zero_o = np.zeros(offsets.shape, dtype=jax.dtypes.float0)
     zero_c = np.zeros(counts.shape, dtype=jax.dtypes.float0)
-    return d_feats, zero_i32, zero_c
+    return d_feats, zero_o, zero_c
 
 
 _raster.defvjp(_raster_fwd, _raster_bwd)
@@ -436,6 +446,10 @@ def render_tiled_pallas(
     ty_n = config.tiles_y(height)
     num_tiles = tx_n * ty_n
 
+    if config.chunk_size % 128 != 0:
+        raise ValueError(
+            f"pallas backend requires chunk_size % 128 == 0 (lane width), got {config.chunk_size}"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -456,21 +470,21 @@ def render_tiled_pallas(
     gidx = binning.pair_gauss
     valid_p = binning.pair_tile < num_tiles
 
-    # pack per-gaussian features, then gather per pair (autodiff of these
-    # gathers produces the per-gaussian scatter-add of gradients)
-    feats = jnp.concatenate(
+    # pack per-gaussian features feature-major, then gather per pair along
+    # lanes (autodiff of this gather produces the per-gaussian scatter-add)
+    feats_t = jnp.concatenate(
         [
-            proj.means2d,
-            proj.conics,
-            colors,
-            opacities[:, None],
-            jnp.zeros((proj.means2d.shape[0], NFEAT - 9), jnp.float32),
+            proj.means2d.T,  # (2, N)
+            proj.conics.T,  # (3, N)
+            colors.T,  # (3, N)
+            opacities[None, :],  # (1, N)
+            jnp.zeros((NFEAT - 9, proj.means2d.shape[0]), jnp.float32),
         ],
-        axis=1,
-    )  # (N, 16)
-    pair_feats = feats[order][gidx]  # (B_pad, 16)
-    # padding rows must be inert: zero them (they were gathered from gaussian 0)
-    pair_feats = jnp.where(valid_p[:, None], pair_feats, 0.0)
+        axis=0,
+    )  # (16, N)
+    pair_feats = jnp.take(feats_t[:, order], gidx, axis=1)  # (16, B_pad)
+    # padding lanes must be inert: zero them (they were gathered from gaussian 0)
+    pair_feats = jnp.where(valid_p[None, :], pair_feats, 0.0)
 
     tiles_flat = _raster(
         pair_feats, binning.tile_offsets, binning.tile_counts, static

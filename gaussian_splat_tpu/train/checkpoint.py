@@ -1,0 +1,57 @@
+"""Checkpoint / resume for the sharded training state.
+
+The reference's only persistence is the PLY itself (its test scene is a
+training-iteration-30000 artifact, /root/reference/src/main.mm:69-70, reloaded
+from disk every launch, instanced_splat_renderer.mm:339-393). This module adds:
+
+  * Orbax checkpoints of the full TrainState pytree (model + optimizer moments
+    + step) — sharding-aware, multi-host safe, restartable (SURVEY §5
+    failure-detection: checkpoint + restart-from-checkpoint is the v1 recovery
+    story).
+  * PLY export via `gaussian_splat_tpu.io.ply` remains the interchange format
+    (the ecosystem's de-facto checkpoint), usable at any step.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def _manager(directory: str):
+    import orbax.checkpoint as ocp
+
+    return ocp.CheckpointManager(
+        os.path.abspath(directory),
+        options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+    )
+
+
+def save_checkpoint(directory: str, state) -> None:
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory)
+    step = int(state.step)
+    mgr.save(step, args=ocp.args.StandardSave(state))
+    mgr.wait_until_finished()
+
+
+def restore_checkpoint(directory: str, template):
+    """Restore the latest checkpoint into the structure of `template`
+    (preserves shardings of the template's arrays)."""
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory)
+    step = mgr.latest_step()
+    if step is None:
+        return None
+    return mgr.restore(step, args=ocp.args.StandardRestore(template))
+
+
+def latest_step(directory: str) -> Optional[int]:
+    import orbax.checkpoint as ocp
+
+    mgr = _manager(directory)
+    return mgr.latest_step()
