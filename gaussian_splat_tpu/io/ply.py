@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import io
 import math
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -98,19 +99,79 @@ def _parse_header(f) -> Tuple[int, list, bool, int]:
     return vertex_count, props, is_binary, end
 
 
-def read_ply(path: str) -> Dict[str, np.ndarray]:
-    """Read all vertex properties into a dict of (N,) numpy arrays."""
+def _read_binary_native(
+    path: str, n: int, props, header_len: int, stride: int, lib
+) -> Optional[Dict[str, np.ndarray]]:
+    """Multithreaded column extraction via the C++ library (native/gsply.cpp).
+    Returns None if any property dtype is unsupported there."""
+    import ctypes
+
+    from gaussian_splat_tpu.native import DTYPE_ENUM
+
+    enums = []
+    for _, dt in props:
+        e = DTYPE_ENUM.get(dt)
+        if e is None:
+            return None
+        enums.append(e)
+
+    mm = np.memmap(path, dtype=np.uint8, mode="r", offset=header_len)
+    if mm.size < n * stride:
+        raise ValueError(
+            f"PLY truncated: expected {n} vertices ({n * stride} bytes), "
+            f"got {mm.size} bytes"
+        )
+    outs = {name: np.empty(n, np.float32) for name, _ in props}
+    offsets = np.zeros(len(props), np.int64)
+    acc = 0
+    for i, (_, dt) in enumerate(props):
+        offsets[i] = acc
+        acc += np.dtype(dt).itemsize
+    dts = np.asarray(enums, np.int32)
+    ptrs = (ctypes.c_void_p * len(props))(
+        *[o.ctypes.data for o in outs.values()]
+    )
+    lib.gsply_deinterleave(
+        ctypes.cast(mm.ctypes.data, ctypes.c_char_p),
+        ctypes.c_int64(n),
+        ctypes.c_int64(stride),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int32(len(props)),
+        ptrs,
+        ctypes.c_int32(min(os.cpu_count() or 1, 16)),
+    )
+    del mm
+    return outs
+
+
+def read_ply(path: str, use_native: bool = True) -> Dict[str, np.ndarray]:
+    """Read all vertex properties into a dict of (N,) float32 numpy arrays.
+
+    Binary files go through the native multithreaded deinterleaver when the
+    C++ library is available (gaussian_splat_tpu/native), with a numpy
+    structured-dtype fallback. All properties are converted to float32 (the
+    3DGS parameter set is float; uchar colors are converted losslessly)."""
     with open(path, "rb") as f:
         n, props, is_binary, header_len = _parse_header(f)
-        f.seek(header_len)
         if is_binary:
-            dtype = np.dtype(props)
-            data = np.fromfile(f, dtype=dtype, count=n)
+            stride = int(sum(np.dtype(dt).itemsize for _, dt in props))
+            if use_native and n > 0:
+                from gaussian_splat_tpu.native import get_lib
+
+                lib = get_lib()
+                if lib is not None:
+                    out = _read_binary_native(path, n, props, header_len, stride, lib)
+                    if out is not None:
+                        return out
+            f.seek(header_len)
+            data = np.fromfile(f, dtype=np.dtype(props), count=n)
             if data.shape[0] != n:
                 raise ValueError(
                     f"PLY truncated: expected {n} vertices, got {data.shape[0]}"
                 )
         else:
+            f.seek(header_len)
             flat = np.loadtxt(io.TextIOWrapper(f, "ascii"), max_rows=n, ndmin=2)
             if flat.shape != (n, len(props)):
                 raise ValueError(
@@ -119,7 +180,10 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
             data = np.zeros(n, dtype=np.dtype([(p, "<f8") for p, _ in props]))
             for i, (name, _) in enumerate(props):
                 data[name] = flat[:, i]
-    return {name: np.ascontiguousarray(data[name]) for name, _ in props}
+    return {
+        name: np.ascontiguousarray(data[name]).astype(np.float32)
+        for name, _ in props
+    }
 
 
 def _stack(fields: Dict[str, np.ndarray], names, default=None) -> Optional[np.ndarray]:
@@ -196,23 +260,43 @@ def save_gaussians(path: str, model: GaussianModel) -> None:
         + [f"scale_{i}" for i in range(3)]
         + [f"rot_{i}" for i in range(4)]
     )
-    data = np.zeros(n, dtype=np.dtype([(nm, "<f4") for nm in names]))
 
     means = np.asarray(model.means, np.float32)
-    data["x"], data["y"], data["z"] = means[:, 0], means[:, 1], means[:, 2]
     sh = np.asarray(model.sh, np.float32)
-    for c, nm in enumerate(["f_dc_0", "f_dc_1", "f_dc_2"]):
-        data[nm] = sh[:, 0, c]
+    ls = np.asarray(model.log_scales, np.float32)
+    q = np.asarray(model.quats, np.float32)
+    zeros = np.zeros(n, np.float32)
+    cols: Dict[str, np.ndarray] = {
+        "x": means[:, 0], "y": means[:, 1], "z": means[:, 2],
+        "nx": zeros, "ny": zeros, "nz": zeros,
+        "f_dc_0": sh[:, 0, 0], "f_dc_1": sh[:, 0, 1], "f_dc_2": sh[:, 0, 2],
+        "opacity": np.asarray(model.opacity_logits, np.float32),
+        "scale_0": ls[:, 0], "scale_1": ls[:, 1], "scale_2": ls[:, 2],
+        "rot_0": q[:, 0], "rot_1": q[:, 1], "rot_2": q[:, 2], "rot_3": q[:, 3],
+    }
     for c in range(3):
         for i in range(rest):
-            data[f"f_rest_{c * rest + i}"] = sh[:, 1 + i, c]
-    data["opacity"] = np.asarray(model.opacity_logits, np.float32)
-    ls = np.asarray(model.log_scales, np.float32)
-    for i in range(3):
-        data[f"scale_{i}"] = ls[:, i]
-    q = np.asarray(model.quats, np.float32)
-    for i in range(4):
-        data[f"rot_{i}"] = q[:, i]
+            cols[f"f_rest_{c * rest + i}"] = sh[:, 1 + i, c]
+
+    # interleave columns → rows: native multithreaded path when available
+    from gaussian_splat_tpu.native import get_lib
+
+    lib = get_lib()
+    col_list = [np.ascontiguousarray(cols[nm], np.float32) for nm in names]
+    if lib is not None and n > 0:
+        import ctypes
+
+        flat = np.empty((n, len(names)), np.float32)
+        ptrs = (ctypes.c_void_p * len(names))(*[c.ctypes.data for c in col_list])
+        lib.gsply_interleave_f32(
+            ptrs,
+            ctypes.c_int64(n),
+            ctypes.c_int32(len(names)),
+            ctypes.c_void_p(flat.ctypes.data),
+            ctypes.c_int32(min(os.cpu_count() or 1, 16)),
+        )
+    else:
+        flat = np.stack(col_list, axis=1) if n > 0 else np.zeros((0, len(names)), np.float32)
 
     header = (
         "ply\n"
@@ -223,4 +307,4 @@ def save_gaussians(path: str, model: GaussianModel) -> None:
     )
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        data.tofile(f)
+        flat.tofile(f)
