@@ -123,60 +123,69 @@ def bin_gaussians(
     tx0, ty0, w, h, clamped = tile_rects(means2d, radii, valid, width, height, config)
     area = w * h
 
-    # --- 3. compact pair expansion: gather-only (no N·K intermediate, no
-    # scatters — TPU scatters serialize, measured 2× slower than even sorting
-    # the padded expansion). Per-gaussian pair starts come from a cumsum; each
-    # compact slot finds its gaussian by binary search and its k-th tile by
-    # arithmetic. Overflow policy: slots past the budget drop in depth order,
-    # i.e. the FARTHEST splats lose first (better than the reference's
-    # arbitrary per-pixel fragment drop, gaussian_splat_50layer.metal:172).
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(area).astype(jnp.int32)]
-    )  # (N+1,) exclusive prefix
-    num_pairs = starts[-1]
+    # --- 3. padded pair expansion (N, K), then ONE stable sort --------------
+    # Measured head-to-head on a v5e at 200k splats / 12.8M padded pairs:
+    #   padded sort (this)            :  76 ms
+    #   searchsorted(method='sort')   : 144 ms
+    #   scatter markers + cummax      : 152 ms
+    #   scatter compaction + sort     : 232 ms
+    #   binary-search compaction      : 311 ms
+    # XLA's TPU sort is regular-access (bitonic over lanes); every "smarter"
+    # compaction pays for irregular gathers/scatters, which serialize on TPU.
+    # So we sort the padded expansion directly — invalid pairs carry a
+    # sentinel key and sort to the end; truncation to the budget then drops
+    # overflow from the highest tile ids.
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
+    w_safe = jnp.maximum(w, 1)[:, None]
+    dy = k // w_safe
+    dx = k % w_safe
+    tile = (ty0[:, None] + dy) * tx_n + (tx0[:, None] + dx)  # (N, K)
+    pair_ok = k < area[:, None]
+    tile_key = jnp.where(pair_ok, tile, num_tiles).astype(jnp.int32)
+
+    flat_keys = tile_key.reshape(-1)  # (N·K,) — depth-ordered per tile
+    flat_gauss = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], (n, K)
+    ).reshape(-1)
+
+    num_pairs = jnp.sum(pair_ok.astype(jnp.int32))
+    budget = min(budget, n * K)  # chunk-rounding can exceed N·K for tiny scenes
     overflow = jnp.maximum(num_pairs - budget, 0)
 
-    slot = jnp.arange(budget, dtype=jnp.int32)
-    slot_gauss = (
-        jnp.searchsorted(starts, slot, side="right").astype(jnp.int32) - 1
-    ).clip(0, n - 1)
-    slot_ok = slot < num_pairs
-    k = slot - starts[slot_gauss]  # k-th tile of that gaussian, row-major
-    w_g = jnp.maximum(w[slot_gauss], 1)
-    tile = (ty0[slot_gauss] + k // w_g) * tx_n + (tx0[slot_gauss] + k % w_g)
-    ckeys = jnp.where(slot_ok, tile, num_tiles).astype(jnp.int32)
-
-    # --- 4. single stable sort by tile id (preserves depth order: slots are
-    # generated in depth order and the sort is stable) -----------------------
     sorted_keys, sorted_gauss = jax.lax.sort(
-        (ckeys, slot_gauss), dimension=0, is_stable=True, num_keys=1
+        (flat_keys, flat_gauss), dimension=0, is_stable=True, num_keys=1
     )
+    sorted_keys = sorted_keys[:budget]
+    sorted_gauss = sorted_gauss[:budget]
 
-    # --- 5. per-tile segment boundaries -------------------------------------
+    # --- 4. per-tile segment boundaries -------------------------------------
     boundaries = jnp.searchsorted(
         sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     counts = boundaries[1:] - boundaries[:-1]  # (T,)
     raw_offsets = boundaries[:-1]
 
-    # --- 6. chunk-aligned layout, again gather-only: each aligned slot finds
-    # its tile by binary search over the aligned offsets and pulls its pair
-    # from the sorted array ---------------------------------------------------
+    # --- 5. chunk-align segments via scatter (budget-sized, cheaper than the
+    # sort; gather-based variants measured slower, see above) ----------------
     aligned_sizes = ((counts + chunk - 1) // chunk) * chunk
     aligned_offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_sizes).astype(jnp.int32)]
-    )  # (T+1,)
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_sizes)[:-1].astype(jnp.int32)]
+    )
 
-    a = jnp.arange(b_pad, dtype=jnp.int32)
-    a_tile = (
-        jnp.searchsorted(aligned_offsets, a, side="right").astype(jnp.int32) - 1
-    ).clip(0, num_tiles - 1)
-    rank = a - aligned_offsets[a_tile]
-    a_ok = (a < aligned_offsets[-1]) & (rank < counts[a_tile])
-    src = (raw_offsets[a_tile] + rank).clip(0, budget - 1)
-    pair_gauss = jnp.where(a_ok, sorted_gauss[src], 0)
-    pair_tile = jnp.where(a_ok, a_tile, num_tiles)
-    aligned_offsets = aligned_offsets[:-1]
+    pos = jnp.arange(budget, dtype=jnp.int32)
+    pair_valid = sorted_keys < num_tiles
+    tile_of_pair = jnp.minimum(sorted_keys, num_tiles - 1)
+    dest = aligned_offsets[tile_of_pair] + (pos - raw_offsets[tile_of_pair])
+    dest = jnp.where(pair_valid, dest, b_pad)  # OOB → dropped by scatter
+
+    pair_gauss = (
+        jnp.zeros((b_pad,), jnp.int32).at[dest].set(sorted_gauss, mode="drop")
+    )
+    pair_tile = (
+        jnp.full((b_pad,), num_tiles, jnp.int32)
+        .at[dest]
+        .set(sorted_keys, mode="drop")
+    )
 
     return BinningResult(
         order=order,
