@@ -30,9 +30,13 @@ class RenderConfig:
     #   tile segments are padded to a multiple of this so chunk DMAs never cross tiles
 
     # Binning capacities (static shapes on a shape-static compiler) ----------
-    max_tiles_per_gaussian: int = 64  # cap on tile-rect area per splat; radii are
-    #   shrunk to fit (the reference instead drops overflow fragments outright,
-    #   shaders/gaussian_splat_50layer.metal:172)
+    max_tiles_per_gaussian: int = 64  # cap on tile-rect area for the BIG tier;
+    #   radii are shrunk to fit (the reference instead drops overflow fragments
+    #   outright, shaders/gaussian_splat_50layer.metal:172)
+    small_tiles_per_gaussian: int = 16  # tile-rect cap for the small tier (most
+    #   gaussians); the padded-sort size is N·small + (N/fraction)·max
+    big_gaussian_fraction: int = 32  # the N/fraction largest-area gaussians get
+    #   the max_tiles_per_gaussian block instead of the small one
     pairs_per_gaussian: float = 8.0  # pair budget = ceil(N * pairs_per_gaussian)
 
     # Projection -------------------------------------------------------------
@@ -87,7 +91,11 @@ class RenderConfig:
         truncation can never occur; large scenes get the amortized
         `pairs_per_gaussian` budget (with a floor), and overflow is reported by
         `BinningResult.overflow`."""
-        worst = n_gaussians * self.max_tiles_per_gaussian
+        m_big = n_gaussians // self.big_gaussian_fraction + 1
+        worst = (
+            n_gaussians * self.small_tiles_per_gaussian
+            + min(m_big, n_gaussians) * self.max_tiles_per_gaussian
+        )
         budget = min(worst, max(int(n_gaussians * self.pairs_per_gaussian), 4096))
         c = self.chunk_size
         return -(-budget // c) * c

@@ -69,30 +69,84 @@ def tile_rects(
 
     w = jnp.where(valid, tx1 - tx0, 0)
     h = jnp.where(valid, ty1 - ty0, 0)
-    area = w * h
 
-    # shrink oversized rects isotropically around the center tile:
-    # floor(w·s)·floor(h·s) ≤ w·h·(K/area) = K for s = sqrt(K/area)
-    K = config.max_tiles_per_gaussian
-    needs_clamp = area > K
-    s = jnp.sqrt(K / jnp.maximum(area, 1).astype(jnp.float32))
+    tx0, ty0, w, h, clamped = _shrink_to_cap(
+        tx0, ty0, w, h, config.max_tiles_per_gaussian, mx, my, ts, tx_n, ty_n
+    )
+    w = jnp.where(valid, w, 0)
+    h = jnp.where(valid, h, 0)
+    clamped = jnp.sum((clamped & valid).astype(jnp.int32))
+    return tx0, ty0, w, h, clamped
+
+
+def _shrink_to_cap(tx0, ty0, w, h, cap, mx, my, ts, tx_n, ty_n, apply=None):
+    """Shrink rects with area > cap isotropically around the mean's tile:
+    floor(w·s)·floor(h·s) ≤ w·h·(cap/area) = cap for s = sqrt(cap/area).
+    `apply` optionally restricts which gaussians are eligible for shrinking.
+    Returns (tx0, ty0, w, h, shrunk_mask)."""
+    area = w * h
+    needs = area > cap
+    if apply is not None:
+        needs = needs & apply
+    s = jnp.sqrt(cap / jnp.maximum(area, 1).astype(jnp.float32))
     w_c = jnp.maximum((w.astype(jnp.float32) * s).astype(jnp.int32), 1)
     h_c = jnp.maximum((h.astype(jnp.float32) * s).astype(jnp.int32), 1)
-    # re-center the shrunk rect on the tile containing the mean
     cx = jnp.clip(jnp.floor(mx / ts).astype(jnp.int32), 0, tx_n - 1)
     cy = jnp.clip(jnp.floor(my / ts).astype(jnp.int32), 0, ty_n - 1)
     tx0_c = jnp.clip(cx - (w_c - 1) // 2, 0, tx_n - w_c)
     ty0_c = jnp.clip(cy - (h_c - 1) // 2, 0, ty_n - h_c)
+    return (
+        jnp.where(needs, tx0_c, tx0),
+        jnp.where(needs, ty0_c, ty0),
+        jnp.where(needs, w_c, w),
+        jnp.where(needs, h_c, h),
+        needs,
+    )
 
-    tx0 = jnp.where(needs_clamp, tx0_c, tx0)
-    ty0 = jnp.where(needs_clamp, ty0_c, ty0)
-    w = jnp.where(needs_clamp, w_c, w)
-    h = jnp.where(needs_clamp, h_c, h)
-    w = jnp.where(valid, w, 0)
-    h = jnp.where(valid, h, 0)
 
-    clamped = jnp.sum((needs_clamp & valid).astype(jnp.int32))
-    return tx0, ty0, w, h, clamped
+def effective_rects(
+    means2d: jax.Array,
+    radii: jax.Array,
+    valid: jax.Array,
+    width: int,
+    height: int,
+    config: RenderConfig,
+):
+    """Two-tier per-gaussian rects as used by `bin_gaussians`:
+    the `n // big_gaussian_fraction + 1` largest-area gaussians keep up to
+    `max_tiles_per_gaussian` tiles; everyone else is shrunk to
+    `small_tiles_per_gaussian`.
+    Returns (tx0, ty0, w, h, is_big, big_idx, clamped_count)."""
+    ts = config.tile_size
+    tx_n = config.tiles_x(width)
+    ty_n = config.tiles_y(height)
+    n = means2d.shape[0]
+    mx, my = means2d[:, 0], means2d[:, 1]
+
+    tx0, ty0, w, h, clamped_big = tile_rects(
+        means2d, radii, valid, width, height, config
+    )
+    area = w * h
+
+    m_big = min(n, n // config.big_gaussian_fraction + 1)
+    _, big_idx = jax.lax.top_k(area, m_big)
+    is_big = jnp.zeros((n,), bool).at[big_idx].set(True)
+
+    tx0, ty0, w, h, shrunk = _shrink_to_cap(
+        tx0,
+        ty0,
+        w,
+        h,
+        config.small_tiles_per_gaussian,
+        mx,
+        my,
+        ts,
+        tx_n,
+        ty_n,
+        apply=~is_big,
+    )
+    clamped = clamped_big + jnp.sum((shrunk & valid).astype(jnp.int32))
+    return tx0, ty0, w, h, is_big, big_idx, clamped
 
 
 def bin_gaussians(
@@ -119,41 +173,59 @@ def bin_gaussians(
     radii = proj.radii[order]
     valid = proj.valid[order]
 
-    # --- 2. tile rects ------------------------------------------------------
-    tx0, ty0, w, h, clamped = tile_rects(means2d, radii, valid, width, height, config)
+    # --- 2. two-tier tile rects ---------------------------------------------
+    # Sorting dominates binning, and its size is the PADDED expansion. A flat
+    # cap of K=64 wastes ~90% of the sort on padding (typical mean overlap is
+    # 3-6 tiles), but a flat cap of 16 visibly shrinks big near-camera splats.
+    # Two tiers fix both: the top ~(N/fraction) largest-area gaussians get the
+    # full K_big block, everyone else a K_small block — at 1M splats the sort
+    # drops from 64M to ~18M entries.
+    tx0, ty0, w, h, is_big, big_idx, clamped = effective_rects(
+        means2d, radii, valid, width, height, config
+    )
     area = w * h
+    k_small = config.small_tiles_per_gaussian
+    m_big = big_idx.shape[0]
+    big_vals = area[big_idx]  # post-shrink areas of the selected big set
 
-    # --- 3. padded pair expansion (N, K), then ONE stable sort --------------
+    # --- 3. padded pair expansion, then ONE 2-key stable sort ---------------
     # Measured head-to-head on a v5e at 200k splats / 12.8M padded pairs:
-    #   padded sort (this)            :  76 ms
-    #   searchsorted(method='sort')   : 144 ms
-    #   scatter markers + cummax      : 152 ms
-    #   scatter compaction + sort     : 232 ms
-    #   binary-search compaction      : 311 ms
+    #   padded sort (this scheme, pre-two-tier):  76 ms
+    #   searchsorted(method='sort')            : 144 ms
+    #   scatter markers + cummax               : 152 ms
+    #   scatter compaction + sort              : 232 ms
+    #   binary-search compaction               : 311 ms
     # XLA's TPU sort is regular-access (bitonic over lanes); every "smarter"
     # compaction pays for irregular gathers/scatters, which serialize on TPU.
-    # So we sort the padded expansion directly — invalid pairs carry a
-    # sentinel key and sort to the end; truncation to the budget then drops
-    # overflow from the highest tile ids.
-    k = jnp.arange(K, dtype=jnp.int32)[None, :]  # (1, K)
-    w_safe = jnp.maximum(w, 1)[:, None]
-    dy = k // w_safe
-    dx = k % w_safe
-    tile = (ty0[:, None] + dy) * tx_n + (tx0[:, None] + dx)  # (N, K)
-    pair_ok = k < area[:, None]
-    tile_key = jnp.where(pair_ok, tile, num_tiles).astype(jnp.int32)
+    # The two blocks concatenate out of depth order, so the sort uses TWO keys
+    # (tile id, depth rank) — `gauss` indices ARE depth ranks here.
+    def expand(tx0e, ty0e, we, areae, gausse, kk):
+        kidx = jnp.arange(kk, dtype=jnp.int32)[None, :]
+        w_safe = jnp.maximum(we, 1)[:, None]
+        tile = (ty0e[:, None] + kidx // w_safe) * tx_n + (
+            tx0e[:, None] + kidx % w_safe
+        )
+        ok = kidx < areae[:, None]
+        keys = jnp.where(ok, tile, num_tiles).astype(jnp.int32)
+        gauss = jnp.broadcast_to(gausse[:, None], keys.shape)
+        return keys.reshape(-1), gauss.reshape(-1), ok
 
-    flat_keys = tile_key.reshape(-1)  # (N·K,) — depth-ordered per tile
-    flat_gauss = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], (n, K)
-    ).reshape(-1)
+    area_small = jnp.where(is_big, 0, area)
+    keys_s, gauss_s, ok_s = expand(
+        tx0, ty0, w, area_small, jnp.arange(n, dtype=jnp.int32), k_small
+    )
+    keys_b, gauss_b, ok_b = expand(
+        tx0[big_idx], ty0[big_idx], w[big_idx], big_vals, big_idx, K
+    )
+    flat_keys = jnp.concatenate([keys_s, keys_b])
+    flat_gauss = jnp.concatenate([gauss_s, gauss_b])
 
-    num_pairs = jnp.sum(pair_ok.astype(jnp.int32))
-    budget = min(budget, n * K)  # chunk-rounding can exceed N·K for tiny scenes
+    num_pairs = jnp.sum(ok_s.astype(jnp.int32)) + jnp.sum(ok_b.astype(jnp.int32))
+    budget = min(budget, n * k_small + m_big * K)
     overflow = jnp.maximum(num_pairs - budget, 0)
 
     sorted_keys, sorted_gauss = jax.lax.sort(
-        (flat_keys, flat_gauss), dimension=0, is_stable=True, num_keys=1
+        (flat_keys, flat_gauss), dimension=0, is_stable=True, num_keys=2
     )
     sorted_keys = sorted_keys[:budget]
     sorted_gauss = sorted_gauss[:budget]

@@ -83,8 +83,11 @@ def test_pairs_match_bruteforce_overlap():
     tx_n = CFG.tiles_x(cam.width)
     ts = CFG.tile_size
 
-    # brute-force: gaussian g overlaps tile t iff t is inside g's clamped rect
-    tx0, ty0, w, h, _ = tile_rects(
+    # brute-force: gaussian g overlaps tile t iff t is inside g's effective
+    # (two-tier) rect
+    from gaussian_splat_tpu.ops.binning import effective_rects
+
+    tx0, ty0, w, h, _, _, _ = effective_rects(
         proj.means2d[res.order],
         proj.radii[res.order],
         proj.valid[res.order],
