@@ -91,10 +91,12 @@ class RenderConfig:
         truncation can never occur; large scenes get the amortized
         `pairs_per_gaussian` budget (with a floor), and overflow is reported by
         `BinningResult.overflow`."""
-        m_big = n_gaussians // self.big_gaussian_fraction + 1
+        m_big = min(
+            n_gaussians, max(n_gaussians // self.big_gaussian_fraction + 1, 64)
+        )
         worst = (
             n_gaussians * self.small_tiles_per_gaussian
-            + min(m_big, n_gaussians) * self.max_tiles_per_gaussian
+            + m_big * self.max_tiles_per_gaussian
         )
         budget = min(worst, max(int(n_gaussians * self.pairs_per_gaussian), 4096))
         c = self.chunk_size

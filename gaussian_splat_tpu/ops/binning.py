@@ -11,12 +11,13 @@ the way the reference drops fragments past its 50-slot cap
 (gaussian_splat_50layer.metal:172).
 
 Design notes (SURVEY §7 hard part (b)):
-  * Gaussians are depth-sorted FIRST (argsort over N), so pair generation emits
-    pairs already in depth order; a single *stable* sort by tile id then yields
-    per-tile front-to-back segments — no second sort key needed.
-  * Each tile's segment start is aligned to a multiple of `chunk_size` so the
-    Pallas kernels' chunk DMAs (and chunk-grain writes in the backward pass)
-    never straddle two tiles.
+  * Gaussians are depth-sorted FIRST (argsort over N); pair generation then
+    runs in two size tiers, and a single stable 2-key sort (tile id, depth
+    rank) yields per-tile front-to-back segments.
+  * Per-tile segments stay unaligned — an aligning scatter was measured 2.4×
+    more expensive than the pair sort itself on TPU; the Pallas kernels read
+    128-aligned supersets with row masks and RMW shared boundary chunks in
+    the backward pass instead.
   * Oversized gaussians have their tile rect shrunk isotropically to fit
     `max_tiles_per_gaussian` (area-preserving center crop) — a bounded
     approximation for extreme near-camera splats, reported via `clamped_rects`.
@@ -38,7 +39,7 @@ class BinningResult(NamedTuple):
     pair_gauss: jax.Array  # (B_pad,) index into the *depth-sorted* gaussian arrays
     #   (clamped to 0 on padding rows — mask with pair_tile)
     pair_tile: jax.Array  # (B_pad,) tile id, == num_tiles on padding rows
-    tile_offsets: jax.Array  # (T,) int32 aligned segment start per tile
+    tile_offsets: jax.Array  # (T,) int32 segment start per tile (unaligned)
     tile_counts: jax.Array  # (T,) int32 actual (unpadded) pairs per tile
     num_pairs: jax.Array  # () int32 valid pairs before budget truncation
     overflow: jax.Array  # () int32 pairs dropped by the budget
@@ -128,7 +129,9 @@ def effective_rects(
     )
     area = w * h
 
-    m_big = min(n, n // config.big_gaussian_fraction + 1)
+    # floor of 64 big slots: small scenes get the full-size tier everywhere
+    # (the fraction only matters once N is large enough for the sort to hurt)
+    m_big = min(n, max(n // config.big_gaussian_fraction + 1, 64))
     _, big_idx = jax.lax.top_k(area, m_big)
     is_big = jnp.zeros((n,), bool).at[big_idx].set(True)
 
@@ -162,9 +165,7 @@ def bin_gaussians(
     num_tiles = tx_n * ty_n
     n = proj.means2d.shape[0]
     K = config.max_tiles_per_gaussian
-    chunk = config.chunk_size
     budget = config.pair_budget(n)
-    b_pad = budget + num_tiles * chunk  # worst-case alignment padding
 
     # --- 1. depth sort (near → far); culled splats sort last ----------------
     depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
@@ -230,40 +231,35 @@ def bin_gaussians(
     sorted_keys = sorted_keys[:budget]
     sorted_gauss = sorted_gauss[:budget]
 
+    # pad the pair array to a chunk multiple: the kernels DMA 128-aligned
+    # supersets, which may reach past the last valid row
+    chunk = config.chunk_size
+    pad = (-budget) % chunk
+    if pad:
+        sorted_keys = jnp.concatenate(
+            [sorted_keys, jnp.full((pad,), num_tiles, jnp.int32)]
+        )
+        sorted_gauss = jnp.concatenate(
+            [sorted_gauss, jnp.zeros((pad,), jnp.int32)]
+        )
+
     # --- 4. per-tile segment boundaries -------------------------------------
+    # Segments are left UNALIGNED: a chunk-aligning scatter was measured at
+    # 213 ms @1M (scatters serialize on TPU, dwarfing even the 18M-pair sort's
+    # 88 ms). The Pallas kernels instead read 128-aligned supersets of each
+    # segment with row masks, and the backward pass read-modify-writes the
+    # boundary chunks shared between adjacent tiles (safe: TPU grid programs
+    # execute sequentially).
     boundaries = jnp.searchsorted(
         sorted_keys, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     counts = boundaries[1:] - boundaries[:-1]  # (T,)
-    raw_offsets = boundaries[:-1]
-
-    # --- 5. chunk-align segments via scatter (budget-sized, cheaper than the
-    # sort; gather-based variants measured slower, see above) ----------------
-    aligned_sizes = ((counts + chunk - 1) // chunk) * chunk
-    aligned_offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_sizes)[:-1].astype(jnp.int32)]
-    )
-
-    pos = jnp.arange(budget, dtype=jnp.int32)
-    pair_valid = sorted_keys < num_tiles
-    tile_of_pair = jnp.minimum(sorted_keys, num_tiles - 1)
-    dest = aligned_offsets[tile_of_pair] + (pos - raw_offsets[tile_of_pair])
-    dest = jnp.where(pair_valid, dest, b_pad)  # OOB → dropped by scatter
-
-    pair_gauss = (
-        jnp.zeros((b_pad,), jnp.int32).at[dest].set(sorted_gauss, mode="drop")
-    )
-    pair_tile = (
-        jnp.full((b_pad,), num_tiles, jnp.int32)
-        .at[dest]
-        .set(sorted_keys, mode="drop")
-    )
 
     return BinningResult(
         order=order,
-        pair_gauss=pair_gauss,
-        pair_tile=pair_tile,
-        tile_offsets=aligned_offsets,
+        pair_gauss=sorted_gauss,
+        pair_tile=sorted_keys,
+        tile_offsets=boundaries[:-1],
         tile_counts=counts,
         num_pairs=num_pairs,
         overflow=overflow,

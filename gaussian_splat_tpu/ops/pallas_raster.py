@@ -85,9 +85,11 @@ def _pixel_coords(static: RasterStatics, tile_id):
     return px, py
 
 
-def _chunk_alpha(static: RasterStatics, f, px, py, base, cnt):
+def _chunk_alpha(static: RasterStatics, f, px, py, row0, seg_lo, seg_hi):
     """Shared forward math for one (NFEAT, G) feature chunk.
 
+    `row0` is the chunk's global row in the pair array; rows outside
+    [seg_lo, seg_hi) belong to neighboring tiles and are masked out.
     Returns (alpha, la, extras); alpha/la have shape (P, G).
     """
     g = static.chunk
@@ -102,8 +104,8 @@ def _chunk_alpha(static: RasterStatics, f, px, py, base, cnt):
     dy = py - my
     sigma = 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1) + base
-    row_valid = lane < cnt  # (1, G)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1) + row0
+    row_valid = (lane >= seg_lo) & (lane < seg_hi)  # (1, G)
 
     alpha_raw = op * jnp.exp(-sigma)
     keep = (
@@ -127,7 +129,16 @@ def _tri_matrices(g: int):
 
 
 def _matmul(a, b, dims):
-    return jax.lax.dot_general(a, b, (dims, ((), ())), preferred_element_type=jnp.float32)
+    # Precision.HIGHEST: TPU matmuls otherwise run with bf16 inputs, which
+    # truncates the f32 log-transmittance prefixes AND the identity-matmul
+    # transposes (measured ~5e-3 image error on hardware vs the f32 paths)
+    return jax.lax.dot_general(
+        a,
+        b,
+        (dims, ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _transpose_mm(x):
@@ -145,13 +156,20 @@ def _transpose_mm(x):
 # ---------------------------------------------------------------------------
 
 
+NBUF = 4  # input-DMA pipeline depth: chunk compute (~0.2 µs) is much shorter
+#   than DMA latency (~1 µs), so 3 prefetches must be in flight to hide it
+
+
 def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, fbuf, acc, sem):
     g = static.chunk
     npix = static.tile_size * static.tile_size
     t = pl.program_id(0)
     off = offs_ref[t]
     cnt = cnts_ref[t]
-    nchunks = pl.cdiv(cnt, g)
+    end = off + cnt
+    # segments are unaligned: stream the 128-aligned superset with row masks
+    base = pl.multiple_of((off // g) * g, g)
+    nchunks = jnp.where(cnt > 0, pl.cdiv(end - base, g), 0)
 
     px, py = _pixel_coords(static, t)
     strict_upper, _ = _tri_matrices(g)
@@ -160,27 +178,27 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
     acc[:, :] = jnp.zeros((npix, NROW), jnp.float32)
 
     def dma(slot, i):
-        # binning chunk-aligns every segment, so off + i·g is a lane multiple;
-        # pl.multiple_of lets Mosaic prove the slice is 128-aligned
-        start = pl.multiple_of(off + i * g, g)
+        start = pl.multiple_of(base + i * g, g)
         return pltpu.make_async_copy(
             feats_hbm.at[:, pl.ds(start, g)],
             fbuf.at[slot],
             sem.at[slot],
         )
 
-    @pl.when(nchunks > 0)
-    def _():
-        dma(0, 0).start()
+    for w in range(NBUF - 1):
+
+        @pl.when(nchunks > w)
+        def _(w=w):
+            dma(w, w).start()
 
     log_eps = np.float32(np.log(max(static.trans_eps, 1e-30)))
 
     def body(i, logT):
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, NBUF)
 
-        @pl.when(i + 1 < nchunks)
+        @pl.when(i + NBUF - 1 < nchunks)
         def _():
-            dma(1 - slot, i + 1).start()
+            dma(jax.lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1).start()
 
         dma(slot, i).wait()
 
@@ -190,7 +208,7 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
         @pl.when(live)
         def _():
             f = fbuf[slot]  # (NFEAT, G)
-            alpha, la, _ = _chunk_alpha(static, f, px, py, i * g, cnt)
+            alpha, la, _ = _chunk_alpha(static, f, px, py, base + i * g, off, end)
             excl = _matmul(la, strict_upper, ((1,), (0,)))  # (P, G)
             t_in = jnp.exp(acc[:, 3:4])  # (P, 1)
             w = alpha * jnp.exp(excl) * t_in  # (P, G): α_i · T_i
@@ -221,9 +239,9 @@ def _raster_forward(pair_feats, offsets, counts, static: RasterStatics):
             (NROW, npix), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, g), jnp.float32),
+            pltpu.VMEM((NBUF, NFEAT, g), jnp.float32),
             pltpu.VMEM((npix, NROW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     return pl.pallas_call(
@@ -250,15 +268,24 @@ def _bwd_kernel(
     fbuf,
     gbuf,
     state,  # VMEM (P, 8): col 0 log T, col 1 prefix accumulator
+    hbuf,  # VMEM (NFEAT, G): existing grads of the shared head chunk (RMW)
     sem,
     gsem,
+    hsem,
 ):
     g = static.chunk
     npix = static.tile_size * static.tile_size
     t = pl.program_id(0)
     off = offs_ref[t]
     cnt = cnts_ref[t]
-    nchunks = pl.cdiv(cnt, g)
+    end = off + cnt
+    base = pl.multiple_of((off // g) * g, g)
+    nchunks = jnp.where(cnt > 0, pl.cdiv(end - base, g), 0)
+    # The first chunk may be shared with preceding tiles' tail rows: those
+    # tiles already wrote their gradients there (grid programs run
+    # sequentially and every out-DMA is drained before a program ends), so
+    # this tile must read-modify-write it instead of clobbering it.
+    shared_head = off > base
 
     px, py = _pixel_coords(static, t)
     strict_upper, upper = _tri_matrices(g)
@@ -275,7 +302,7 @@ def _bwd_kernel(
     state[:, :] = jnp.zeros((npix, NROW), jnp.float32)
 
     def dma_in(slot, i):
-        start = pl.multiple_of(off + i * g, g)
+        start = pl.multiple_of(base + i * g, g)
         return pltpu.make_async_copy(
             feats_hbm.at[:, pl.ds(start, g)],
             fbuf.at[slot],
@@ -283,34 +310,48 @@ def _bwd_kernel(
         )
 
     def dma_out(slot, i):
-        start = pl.multiple_of(off + i * g, g)
+        start = pl.multiple_of(base + i * g, g)
         return pltpu.make_async_copy(
             gbuf.at[slot],
             dfeats_hbm.at[:, pl.ds(start, g)],
             gsem.at[slot],
         )
 
-    @pl.when(nchunks > 0)
+    # RMW prefetch of the shared head chunk's existing gradients
+    def dma_head_in():
+        return pltpu.make_async_copy(
+            dfeats_hbm.at[:, pl.ds(base, g)],
+            hbuf,
+            hsem,
+        )
+
+    @pl.when((nchunks > 0) & shared_head)
     def _():
-        dma_in(0, 0).start()
+        dma_head_in().start()
+
+    for w in range(NBUF - 1):
+
+        @pl.when(nchunks > w)
+        def _(w=w):
+            dma_in(w, w).start()
 
     def body(i, _):
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, NBUF)
 
-        @pl.when(i + 1 < nchunks)
+        @pl.when(i + NBUF - 1 < nchunks)
         def _():
-            dma_in(1 - slot, i + 1).start()
+            dma_in(jax.lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1).start()
 
         dma_in(slot, i).wait()
 
         # wait for the prior output DMA that used this gbuf slot
-        @pl.when(i >= 2)
+        @pl.when(i >= NBUF)
         def _():
-            dma_out(slot, i - 2).wait()
+            dma_out(slot, i - NBUF).wait()
 
         f = fbuf[slot]
         alpha, la, (dx, dy, sigma, alpha_raw, keep) = _chunk_alpha(
-            static, f, px, py, i * g, cnt
+            static, f, px, py, base + i * g, off, end
         )
 
         excl = _matmul(la, strict_upper, ((1,), (0,)))
@@ -347,9 +388,19 @@ def _bwd_kernel(
         drgb = _matmul(gC, w, ((0,), (0,)))  # (3, G): Σ_p gC(p,c)·w(p,g)
 
         zeros7 = jnp.zeros((NFEAT - 9, g), jnp.float32)
-        gbuf[slot] = jnp.concatenate(
+        grads = jnp.concatenate(
             [dmx, dmy, dA, dB, dC, drgb, dop, zeros7], axis=0
         )
+        # out-of-segment columns are exactly zero (da/w masked), so a plain
+        # write is safe everywhere except the shared head chunk, which must
+        # accumulate onto the neighbors' already-written gradients
+        gbuf[slot] = grads
+
+        @pl.when((i == 0) & shared_head)
+        def _():
+            dma_head_in().wait()
+            gbuf[slot] = grads + hbuf[:, :]
+
         dma_out(slot, i).start()
 
         # advance carried state
@@ -359,14 +410,12 @@ def _bwd_kernel(
 
     jax.lax.fori_loop(0, nchunks, body, 0)
 
-    # drain remaining output DMAs
-    @pl.when(nchunks >= 2)
-    def _():
-        dma_out(jax.lax.rem(nchunks, 2), nchunks - 2).wait()
+    # drain the last ≤NBUF output DMAs
+    for w in range(NBUF, 0, -1):
 
-    @pl.when(nchunks >= 1)
-    def _():
-        dma_out(jax.lax.rem(nchunks - 1, 2), nchunks - 1).wait()
+        @pl.when(nchunks >= w)
+        def _(w=w):
+            dma_out(jax.lax.rem(nchunks - w, NBUF), nchunks - w).wait()
 
 
 def _raster_backward(pair_feats, offsets, counts, fwd_out, cot, static: RasterStatics):
@@ -385,11 +434,13 @@ def _raster_backward(pair_feats, offsets, counts, fwd_out, cot, static: RasterSt
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, NFEAT, g), jnp.float32),
-            pltpu.VMEM((2, NFEAT, g), jnp.float32),
+            pltpu.VMEM((NBUF, NFEAT, g), jnp.float32),
+            pltpu.VMEM((NBUF, NFEAT, g), jnp.float32),
             pltpu.VMEM((npix, NROW), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NFEAT, g), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
@@ -425,6 +476,45 @@ def _raster_bwd(static, residuals, cot):
 
 
 _raster.defvjp(_raster_fwd, _raster_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Pair gather with a sort-based VJP
+# ---------------------------------------------------------------------------
+# The autodiff transpose of a 9M-row gather is a scatter-add, which serializes
+# on TPU (measured 945 ms at 1M splats / 1080p). Re-sorting the cotangents by
+# gaussian index and segment-summing via cumsum + boundary differences is
+# regular-access and 2.4× faster (388 ms), at ~3e-5 relative error from the
+# long f32 prefix sums — far below the rasterizer's gradient tolerances.
+
+
+@jax.custom_vjp
+def gather_pairs(feats_rows, src):
+    """feats_rows: (N, F); src: (B,) int32 → (B, F)."""
+    return jnp.take(feats_rows, src, axis=0)
+
+
+def _gather_pairs_fwd(feats_rows, src):
+    return jnp.take(feats_rows, src, axis=0), (src, feats_rows.shape[0])
+
+
+def _gather_pairs_bwd(res, d_pairs):
+    src, n = res
+    b = src.shape[0]
+    sk, perm = jax.lax.sort(
+        (src, jnp.arange(b, dtype=jnp.int32)), num_keys=1
+    )
+    ds = jnp.take(d_pairs, perm, axis=0)
+    cs = jnp.concatenate(
+        [jnp.zeros((1, d_pairs.shape[1]), d_pairs.dtype), jnp.cumsum(ds, axis=0)],
+        axis=0,
+    )
+    bounds = jnp.searchsorted(sk, jnp.arange(n + 1, dtype=jnp.int32), side="left")
+    d_feats = cs[bounds[1:]] - cs[bounds[:-1]]
+    return d_feats, np.zeros(src.shape, dtype=jax.dtypes.float0)
+
+
+gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -466,25 +556,24 @@ def render_tiled_pallas(
     )
 
     binning = bin_gaussians(proj, width, height, config)
-    order = binning.order
-    gidx = binning.pair_gauss
     valid_p = binning.pair_tile < num_tiles
+    # composed index: original-gaussian id per pair (one gather instead of two)
+    src = jnp.take(binning.order, binning.pair_gauss)
 
-    # pack per-gaussian features feature-major, then gather per pair along
-    # lanes (autodiff of this gather produces the per-gaussian scatter-add)
-    feats_t = jnp.concatenate(
+    feats_rows = jnp.concatenate(
         [
-            proj.means2d.T,  # (2, N)
-            proj.conics.T,  # (3, N)
-            colors.T,  # (3, N)
-            opacities[None, :],  # (1, N)
-            jnp.zeros((NFEAT - 9, proj.means2d.shape[0]), jnp.float32),
+            proj.means2d,  # (N, 2)
+            proj.conics,  # (N, 3)
+            colors,  # (N, 3)
+            opacities[:, None],  # (N, 1)
+            jnp.zeros((proj.means2d.shape[0], NFEAT - 9), jnp.float32),
         ],
-        axis=0,
-    )  # (16, N)
-    pair_feats = jnp.take(feats_t[:, order], gidx, axis=1)  # (16, B_pad)
-    # padding lanes must be inert: zero them (they were gathered from gaussian 0)
-    pair_feats = jnp.where(valid_p[None, :], pair_feats, 0.0)
+        axis=1,
+    )  # (N, 16)
+    pair_rows = gather_pairs(feats_rows, src)  # (B_pad, 16), sort-based VJP
+    # padding rows must be inert: zero them (they were gathered from gaussian 0)
+    pair_rows = jnp.where(valid_p[:, None], pair_rows, 0.0)
+    pair_feats = pair_rows.T  # (16, B_pad) — the kernels' feature-major layout
 
     tiles_flat = _raster(
         pair_feats, binning.tile_offsets, binning.tile_counts, static

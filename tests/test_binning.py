@@ -47,7 +47,7 @@ def test_rect_contains_extent():
     assert (w[~valid] == 0).all()
 
 
-def test_segments_are_depth_ordered_and_aligned():
+def test_segments_are_depth_ordered_and_contiguous():
     cam, model, proj = _scene(400, seed=1)
     res = bin_gaussians(proj, cam.width, cam.height, CFG)
     num_tiles = CFG.num_tiles(cam.width, cam.height)
@@ -57,8 +57,14 @@ def test_segments_are_depth_ordered_and_aligned():
     tile = np.asarray(res.pair_tile)
     depths_sorted = np.asarray(proj.depths[res.order])
 
-    assert (offs % CFG.chunk_size == 0).all()
     assert res.overflow == 0
+    # unaligned contract: segments tile the sorted pair list contiguously
+    assert offs[0] == 0
+    np.testing.assert_array_equal(offs[1:], offs[:-1] + counts[:-1])
+    # pair array is padded to a chunk multiple with sentinels
+    assert len(tile) % CFG.chunk_size == 0
+    total = offs[-1] + counts[-1]
+    assert (tile[total:] == num_tiles).all()
 
     total_checked = 0
     for t in range(num_tiles):
@@ -69,9 +75,6 @@ def test_segments_are_depth_ordered_and_aligned():
         # pair_gauss indexes depth-sorted arrays → indices ascend per segment
         assert (np.diff(seg) > 0).all() if len(seg) > 1 else True
         assert (np.diff(d) >= 0).all()
-        # padding rows after the segment (up to the aligned boundary) are sentinel
-        pad_end = offs[t + 1] if t + 1 < num_tiles else len(tile)
-        assert (tile[offs[t] + counts[t] : pad_end] == num_tiles).all()
         total_checked += counts[t]
     assert total_checked == int(res.num_pairs)
 

@@ -1,0 +1,54 @@
+"""Multi-view dataset + training: view indexing is jit-safe (no recompiles),
+and multi-view fitting recovers a perturbed scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splat_tpu.config import RenderConfig, TrainConfig
+from gaussian_splat_tpu.models.gaussians import GaussianModel
+from gaussian_splat_tpu.ops.render import render
+from gaussian_splat_tpu.train.dataset import ViewDataset, orbit_dataset
+from gaussian_splat_tpu.train.trainer import fit_multiview, make_multiview_train_step, create_train_state
+
+CFG = RenderConfig(backend="jnp_tile")
+
+
+def _gt_and_dataset(n=40, n_views=4, res=48):
+    gt = GaussianModel.random(jax.random.PRNGKey(0), n, sh_degree=0, extent=0.7)
+    ds = orbit_dataset(
+        lambda cam: render(gt, cam, CFG).image,
+        n_views=n_views, radius=4.0, width=res, height=res,
+    )
+    return gt, ds
+
+
+def test_dataset_shapes_and_indexing():
+    gt, ds = _gt_and_dataset()
+    assert ds.num_views == 4
+    assert ds.images.shape == (4, 48, 48, 3)
+    cam2 = ds.camera(2)
+    img2 = render(gt, cam2, CFG).image
+    np.testing.assert_allclose(np.asarray(img2), np.asarray(ds.target(2)), atol=1e-6)
+
+
+def test_traced_view_index_no_recompile():
+    gt, ds = _gt_and_dataset()
+    state = create_train_state(gt, TrainConfig())
+    step = make_multiview_train_step(ds, CFG, TrainConfig())
+    # different traced view indices reuse one compilation
+    s1, l1 = step(state, jnp.int32(0))
+    s2, l2 = step(state, jnp.int32(3))
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+    assert float(l1) < 1e-5  # gt renders match targets exactly
+
+
+def test_multiview_fit_recovers():
+    gt, ds = _gt_and_dataset(n=30, n_views=4, res=40)
+    init = gt.replace(
+        means=gt.means + 0.03 * jax.random.normal(jax.random.PRNGKey(1), gt.means.shape),
+        opacity_logits=gt.opacity_logits - 1.0,
+    )
+    tc = TrainConfig(num_steps=150, ssim_weight=0.0, lr_means=1e-3, lr_opacities=0.1)
+    fitted, hist = fit_multiview(init, ds, CFG, tc, log_every=25)
+    assert hist[-1] < hist[0] * 0.55, hist
