@@ -51,6 +51,10 @@ class RenderConfig:
     #   tiled paths agree exactly: a pixel outside a splat's tile rect is
     #   provably outside its extent ellipse.
 
+    antialiased: bool = False  # gsplat "antialiased" mode: scale opacity by
+    #   √(det Σ / det(Σ+dilation·I)) so sub-pixel splats fade out instead of
+    #   aliasing (the dilation's principled counterpart)
+
     # Compositing ------------------------------------------------------------
     alpha_clamp: float = 0.999  # max per-splat alpha (gsplat semantics)
     alpha_skip: float = 1.0 / 255.0  # contributions below this are dropped

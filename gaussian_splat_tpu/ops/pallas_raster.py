@@ -9,11 +9,12 @@ fragment lists + per-pixel insertion sort) re-thought for the MXU:
     VMEM window (no atomics, no sorting in the kernel — binning already ordered
     everything).
   * Compositing is reformulated so the sequential front-to-back recurrence
-    becomes dense linear algebra:
+    vectorizes over a whole 128-gaussian chunk:
         T_i = T_in · exp( Σ_{j<i, chunk} log1p(−α_j) )
-    i.e. an exclusive prefix-sum in log space, computed for a whole 128-gaussian
-    chunk at once as a (P×G)·(G×G) strictly-triangular matmul on the MXU; the
-    color accumulation Σ_i c_i·α_i·T_i is a second (P×G)·(G×3) matmul.
+    — an exclusive prefix-sum in log space, computed for a whole chunk at once
+    as a (P×G)·(G×G) strictly-triangular matmul on the MXU at bf16x3 precision
+    (see _matmul for the measured precision/speed trade); the color
+    accumulation Σ_i c_i·α_i·T_i is a second (P×G)·(G×3) matmul.
   * The backward pass needs suffix sums Σ_{j>i} — rewritten via
     Σ_{j>i} x_j = X_total − Σ_{j≤i} x_j so it walks front-to-back in ONE pass
     (the gsplat CUDA kernel walks back-to-front instead), reusing the forward's
@@ -129,9 +130,13 @@ def _tri_matrices(g: int):
 
 
 def _matmul(a, b, dims):
-    # Precision.HIGHEST: TPU matmuls otherwise run with bf16 inputs, which
-    # truncates the f32 log-transmittance prefixes AND the identity-matmul
-    # transposes (measured ~5e-3 image error on hardware vs the f32 paths)
+    # Precision.HIGHEST: default TPU matmuls truncate inputs to bf16, which
+    # corrupts the log-transmittance prefixes and the identity-matmul
+    # transposes. Measured on a v5e at 1M splats / 1080p:
+    #   bf16 (DEFAULT): fwd 46.5 / bwd 58 ms, err 5.3e-3 vs f32 reference
+    #   f32  (HIGHEST): fwd 57.8 / bwd 95 ms, err 1.0e-3
+    #   VPU lane-scan : fwd 67.1 / bwd 119 ms, err 1.0e-3 (pltpu.roll is slow)
+    # (Precision.HIGH / bf16x3 is not supported by Mosaic.)
     return jax.lax.dot_general(
         a,
         b,
@@ -488,6 +493,10 @@ _raster.defvjp(_raster_fwd, _raster_bwd)
 # long f32 prefix sums — far below the rasterizer's gradient tolerances.
 
 
+NCOLS_LIVE = 9  # only [mx,my,A,B,C,r,g,b,op] carry gradients; the 7 pad
+#   columns are structurally zero, so the VJP reduction skips them
+
+
 @jax.custom_vjp
 def gather_pairs(feats_rows, src):
     """feats_rows: (N, F); src: (B,) int32 → (B, F)."""
@@ -501,16 +510,20 @@ def _gather_pairs_fwd(feats_rows, src):
 def _gather_pairs_bwd(res, d_pairs):
     src, n = res
     b = src.shape[0]
+    f = d_pairs.shape[1]
+    live = min(NCOLS_LIVE, f)
     sk, perm = jax.lax.sort(
         (src, jnp.arange(b, dtype=jnp.int32)), num_keys=1
     )
-    ds = jnp.take(d_pairs, perm, axis=0)
+    ds = jnp.take(d_pairs[:, :live], perm, axis=0)
     cs = jnp.concatenate(
-        [jnp.zeros((1, d_pairs.shape[1]), d_pairs.dtype), jnp.cumsum(ds, axis=0)],
-        axis=0,
+        [jnp.zeros((1, live), d_pairs.dtype), jnp.cumsum(ds, axis=0)], axis=0
     )
     bounds = jnp.searchsorted(sk, jnp.arange(n + 1, dtype=jnp.int32), side="left")
-    d_feats = cs[bounds[1:]] - cs[bounds[:-1]]
+    d_live = cs[bounds[1:]] - cs[bounds[:-1]]
+    d_feats = jnp.concatenate(
+        [d_live, jnp.zeros((n, f - live), d_pairs.dtype)], axis=1
+    )
     return d_feats, np.zeros(src.shape, dtype=jax.dtypes.float0)
 
 

@@ -43,6 +43,8 @@ class ProjectedGaussians(NamedTuple):
     radii: jax.Array  # (N,) int32 extent in pixels (0 ⇒ culled)
     valid: jax.Array  # (N,) bool — survives near/frustum/degeneracy culling
     cov2d: jax.Array  # (N, 3) the (a, b, c) 2D covariance (pre-inverse), for debug
+    compensation: jax.Array = None  # (N,) √(det Σ / det(Σ+dilation·I)) — the
+    #   gsplat "antialiased" opacity factor (1.0 when antialiasing is off)
 
 
 def quat_to_rotmat(quats: jax.Array) -> jax.Array:
@@ -138,11 +140,15 @@ def project_gaussians(
 
     # diagonal low-pass lift (gaussian_splat.metal:161-163 uses 1e-4; we use the
     # gsplat 0.3 px convention via cov2d_dilation)
+    det_raw = a * c - b * b
     a = a + cov2d_dilation
     c = c + cov2d_dilation
 
     # --- conic (inverse 2D covariance) -------------------------------------
     det = a * c - b * b
+    # gsplat "antialiased" opacity compensation: scales α by the mass ratio of
+    # the pre/post-dilation gaussians so tiny splats fade instead of aliasing
+    compensation = jnp.sqrt(jnp.maximum(det_raw, 0.0) / jnp.maximum(det, 1e-12))
     det_ok = det > 1e-10
     det_safe = jnp.where(det_ok, det, 1.0)
     inv_det = 1.0 / det_safe
@@ -178,6 +184,7 @@ def project_gaussians(
         radii=radii,
         valid=valid,
         cov2d=jnp.stack([a, b, c], axis=-1),
+        compensation=compensation,
     )
 
 

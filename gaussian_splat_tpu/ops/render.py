@@ -49,6 +49,13 @@ def _project_and_shade(model: GaussianModel, camera: Camera, config: RenderConfi
     return proj, colors
 
 
+def _effective_opacities(model: GaussianModel, proj, config: RenderConfig):
+    op = model.opacities
+    if config.antialiased:
+        op = op * proj.compensation
+    return op
+
+
 def render(
     model: GaussianModel,
     camera: Camera,
@@ -60,7 +67,7 @@ def render(
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp_tile"
 
     proj, colors = _project_and_shade(model, camera, config)
-    opacities = model.opacities
+    opacities = _effective_opacities(model, proj, config)
 
     if backend == "reference":
         image, t_final = reference_ops.render_reference(

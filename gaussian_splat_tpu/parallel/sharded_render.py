@@ -83,6 +83,9 @@ def render_sharded(
         idx = jax.lax.axis_index(axis_name)
 
         proj, colors = _project_and_shade(model_shard, cam, config)
+        from gaussian_splat_tpu.ops.render import _effective_opacities
+
+        opac = _effective_opacities(model_shard, proj, config)
         feats = jnp.concatenate(
             [
                 proj.means2d,  # 0:2
@@ -91,7 +94,7 @@ def render_sharded(
                 proj.radii.astype(jnp.float32)[:, None],  # 6
                 proj.valid.astype(jnp.float32)[:, None],  # 7
                 colors,  # 8:11
-                model_shard.opacities[:, None],  # 11
+                opac[:, None],  # 11
             ],
             axis=1,
         )  # (N/D, 12)

@@ -159,3 +159,28 @@ class TestProjection:
         g = jax.grad(loss)(jnp.array([[0.1, 0.05, 0.0]]))
         assert np.all(np.isfinite(np.asarray(g)))
         assert not np.allclose(np.asarray(g), 0.0)
+
+
+class TestAntialiasCompensation:
+    def test_compensation_range_and_monotonicity(self):
+        cam = _camera()
+        quats = jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]]), (2, 1))
+        means = jnp.zeros((2, 3))
+        # tiny splat vs large splat: tiny one is dampened much more
+        scales = jnp.array([[0.001] * 3, [0.5] * 3])
+        proj = project_gaussians(means, quats, scales, cam)
+        c = np.asarray(proj.compensation)
+        assert 0.0 <= c[0] < 0.2
+        assert 0.9 < c[1] <= 1.0
+
+    def test_antialiased_render_differs_only_via_opacity(self):
+        import gaussian_splat_tpu as gs
+
+        model = gs.GaussianModel.random(jax.random.PRNGKey(3), 30, sh_degree=0,
+                                        scale_range=(0.002, 0.02))
+        cam = _camera()
+        on = gs.render(model, cam, gs.RenderConfig(backend="jnp_tile", antialiased=True)).image
+        off = gs.render(model, cam, gs.RenderConfig(backend="jnp_tile", antialiased=False)).image
+        # antialiasing only dims (opacity scale ≤ 1): no pixel gets brighter
+        assert float(jnp.max(on - off)) < 1e-5
+        assert float(jnp.max(off - on)) > 1e-4  # and some pixels dim
