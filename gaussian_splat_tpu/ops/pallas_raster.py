@@ -23,15 +23,17 @@ fragment lists + per-pixel insertion sort) re-thought for the MXU:
 Memory layout (driven by Mosaic's lane-alignment rules — DMA slices must be
 128-aligned in the minor dimension):
 
-  * Pair features are FEATURE-MAJOR: (16, B_pad) f32 — rows
-    [mx, my, A, B, C, r, g, b, opacity, pad×7], pairs on lanes. A chunk DMA is
-    a (16, 128) slice whose lane offset is 128-aligned because binning aligns
-    every tile segment to the 128-pair chunk size.
+  * Pair features are FEATURE-MAJOR: (16, B) f32 — rows
+    [mx, my, A, B, C, r, g, b, depth, opacity, pad×6], pairs on lanes. A chunk
+    DMA is a (16, 128) slice whose lane offset is 128-aligned (segments are
+    unaligned; each program streams the aligned superset with row masks).
+  * Depth rides as a fourth "color" channel: the expected-depth map uses the
+    exact same compositing matmuls and backward math as RGB.
   * In-kernel compute is pixels-on-sublanes / gaussians-on-lanes: (P=256, G=128)
     arrays, so feature rows (1, G) and pixel-coordinate columns (P, 1) broadcast
     without relayouts.
-  * Tile outputs are (NROW=8, P): rows 0-2 RGB, row 3 T_final. The single
-    (P, 8)→(8, P) transpose per tile is done as an identity matmul (Mosaic-safe,
+  * Tile outputs are (NROW=8, P): rows 0-2 RGB, row 3 depth, row 4 T_final. The
+    single (P, 8)→(8, P) transpose per tile is an identity matmul (Mosaic-safe,
     ~0.5 MFLOP — noise next to the compositing matmuls).
 
 The per-pair gradient array is produced in the same transposed layout and the
@@ -56,8 +58,8 @@ from gaussian_splat_tpu.ops.binning import bin_gaussians
 from gaussian_splat_tpu.ops.projection import ProjectedGaussians
 from gaussian_splat_tpu.ops.tile_raster import tiles_to_image
 
-NFEAT = 16  # feature rows: mx,my,A,B,C,r,g,b,op + 7 pad
-NROW = 8  # output rows per tile: r,g,b,T_final + 4 pad (f32 sublane tile)
+NFEAT = 16  # feature rows: mx,my,A,B,C, r,g,b,depth, op + 6 pad
+NROW = 8  # output rows per tile: r,g,b,depth,T_final + 3 pad (f32 sublane tile)
 
 
 class RasterStatics(NamedTuple):
@@ -99,7 +101,7 @@ def _chunk_alpha(static: RasterStatics, f, px, py, row0, seg_lo, seg_hi):
     A = f[2:3, :]
     B = f[3:4, :]
     C = f[4:5, :]
-    op = f[8:9, :]
+    op = f[9:10, :]
 
     dx = px - mx  # (P, G)
     dy = py - my
@@ -179,7 +181,7 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
     px, py = _pixel_coords(static, t)
     strict_upper, _ = _tri_matrices(g)
 
-    # acc: (P, 8) — cols 0-2 RGB, col 3 running log-transmittance
+    # acc: (P, 8) — cols 0-2 RGB, col 3 expected depth, col 4 running log-T
     acc[:, :] = jnp.zeros((npix, NROW), jnp.float32)
 
     def dma(slot, i):
@@ -215,19 +217,19 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
             f = fbuf[slot]  # (NFEAT, G)
             alpha, la, _ = _chunk_alpha(static, f, px, py, base + i * g, off, end)
             excl = _matmul(la, strict_upper, ((1,), (0,)))  # (P, G)
-            t_in = jnp.exp(acc[:, 3:4])  # (P, 1)
+            t_in = jnp.exp(acc[:, 4:5])  # (P, 1)
             w = alpha * jnp.exp(excl) * t_in  # (P, G): α_i · T_i
-            colors = f[5:8, :]  # (3, G)
-            delta = _matmul(w, colors, ((1,), (1,)))  # (P, 3)
-            acc[:, 0:3] = acc[:, 0:3] + delta
-            acc[:, 3:4] = acc[:, 3:4] + jnp.sum(la, axis=1, keepdims=True)
+            chans = f[5:9, :]  # (4, G): rgb + depth share the compositing math
+            delta = _matmul(w, chans, ((1,), (1,)))  # (P, 4)
+            acc[:, 0:4] = acc[:, 0:4] + delta
+            acc[:, 4:5] = acc[:, 4:5] + jnp.sum(la, axis=1, keepdims=True)
 
-        new_logT = jnp.where(live, jnp.max(acc[:, 3:4]), logT)
+        new_logT = jnp.where(live, jnp.max(acc[:, 4:5]), logT)
         return new_logT
 
     jax.lax.fori_loop(0, nchunks, body, jnp.float32(0.0))
 
-    acc[:, 3:4] = jnp.exp(acc[:, 3:4])
+    acc[:, 4:5] = jnp.exp(acc[:, 4:5])
     out_ref[:, :] = _transpose_mm(acc[:, :])  # (8, P)
 
 
@@ -297,10 +299,10 @@ def _bwd_kernel(
 
     cot_t = _transpose_mm(cot_ref[:, :])  # (P, 8)
     fwd_t = _transpose_mm(fwd_out_ref[:, :])  # (P, 8)
-    gC = cot_t[:, 0:3]  # (P, 3)
-    g_tf = cot_t[:, 3:4]  # (P, 1)
-    c_total = fwd_t[:, 0:3]
-    t_final = fwd_t[:, 3:4]
+    gC = cot_t[:, 0:4]  # (P, 4): rgb + depth cotangents
+    g_tf = cot_t[:, 4:5]  # (P, 1)
+    c_total = fwd_t[:, 0:4]
+    t_final = fwd_t[:, 4:5]
     # Q = gC·C_total + g_Tf·T_final  (P, 1)
     q = jnp.sum(gC * c_total, axis=1, keepdims=True) + g_tf * t_final
 
@@ -363,8 +365,8 @@ def _bwd_kernel(
         t_i = jnp.exp(state[:, 0:1] + excl)  # (P, G) transmittance before i
         w = alpha * t_i
 
-        colors = f[5:8, :]  # (3, G)
-        v = _matmul(gC, colors, ((1,), (0,)))  # (P, G) = gC·c_i per pixel
+        chans = f[5:9, :]  # (4, G)
+        v = _matmul(gC, chans, ((1,), (0,)))  # (P, G) = gC·c_i per pixel
         contrib = v * w
         incl = state[:, 1:2] + _matmul(contrib, upper, ((1,), (0,)))
         # (P, G) inclusive prefix Σ_{j≤i} v_j α_j T_j
@@ -390,11 +392,11 @@ def _bwd_kernel(
         dB = jnp.sum(dsigma * dx * dy, axis=0, keepdims=True)
         dC = jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
         dop = jnp.sum(dop_pix, axis=0, keepdims=True)
-        drgb = _matmul(gC, w, ((0,), (0,)))  # (3, G): Σ_p gC(p,c)·w(p,g)
+        dchans = _matmul(gC, w, ((0,), (0,)))  # (4, G): Σ_p gC(p,c)·w(p,g)
 
-        zeros7 = jnp.zeros((NFEAT - 9, g), jnp.float32)
+        zeros6 = jnp.zeros((NFEAT - 10, g), jnp.float32)
         grads = jnp.concatenate(
-            [dmx, dmy, dA, dB, dC, drgb, dop, zeros7], axis=0
+            [dmx, dmy, dA, dB, dC, dchans, dop, zeros6], axis=0
         )
         # out-of-segment columns are exactly zero (da/w masked), so a plain
         # write is safe everywhere except the shared head chunk, which must
@@ -493,7 +495,7 @@ _raster.defvjp(_raster_fwd, _raster_bwd)
 # long f32 prefix sums — far below the rasterizer's gradient tolerances.
 
 
-NCOLS_LIVE = 9  # only [mx,my,A,B,C,r,g,b,op] carry gradients; the 7 pad
+NCOLS_LIVE = 10  # only [mx,my,A,B,C,r,g,b,depth,op] carry gradients; the 6 pad
 #   columns are structurally zero, so the VJP reduction skips them
 
 
@@ -543,7 +545,7 @@ def render_tiled_pallas(
     height: int,
     config: RenderConfig,
     interpret: bool = None,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     ts = config.tile_size
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
@@ -578,8 +580,9 @@ def render_tiled_pallas(
             proj.means2d,  # (N, 2)
             proj.conics,  # (N, 3)
             colors,  # (N, 3)
+            proj.depths[:, None],  # (N, 1) — composited as a 4th channel
             opacities[:, None],  # (N, 1)
-            jnp.zeros((proj.means2d.shape[0], NFEAT - 9), jnp.float32),
+            jnp.zeros((proj.means2d.shape[0], NFEAT - 10), jnp.float32),
         ],
         axis=1,
     )  # (N, 16)
@@ -593,13 +596,14 @@ def render_tiled_pallas(
     )  # (T·NROW, P)
 
     tiles = tiles_flat.reshape(num_tiles, NROW, ts * ts)
-    tiles_rgb = jnp.swapaxes(tiles[:, 0:3, :], 1, 2)  # (T, P, 3)
-    t_final_tiles = tiles[:, 3, :]  # (T, P)
+    tiles_rgbd = jnp.swapaxes(tiles[:, 0:4, :], 1, 2)  # (T, P, 4)
+    t_final_tiles = tiles[:, 4, :]  # (T, P)
 
-    image = tiles_to_image(tiles_rgb, tx_n, ty_n, width, height, ts)
+    rgbd = tiles_to_image(tiles_rgbd, tx_n, ty_n, width, height, ts)
     t_final = tiles_to_image(
         t_final_tiles[..., None], tx_n, ty_n, width, height, ts
     )[..., 0]
     bg = jnp.asarray(config.background, jnp.float32)
-    image = image + t_final[..., None] * bg
-    return image, t_final
+    depth = rgbd[..., 3]
+    image = rgbd[..., :3] + t_final[..., None] * bg
+    return image, t_final, depth

@@ -35,14 +35,15 @@ from gaussian_splat_tpu.config import RenderConfig
 def composite_sorted(
     means2d: jax.Array,  # (N,2) already depth-sorted near→far
     conics: jax.Array,  # (N,3)
-    colors: jax.Array,  # (N,3)
+    colors: jax.Array,  # (N,C) — any channel count; the standard pipeline
+    #   passes RGB+depth so the expected-depth map falls out of the same math
     opacities: jax.Array,  # (N,)
     valid: jax.Array,  # (N,) bool
     width: int,
     height: int,
     config: RenderConfig = RenderConfig(),
 ) -> Tuple[jax.Array, jax.Array]:
-    """Composite depth-sorted splats over all pixels. Returns (image (H,W,3), T_final (H,W))."""
+    """Composite depth-sorted splats over all pixels. Returns (image (H,W,C), T_final (H,W))."""
     xs = jnp.arange(width, dtype=jnp.float32) + 0.5
     ys = jnp.arange(height, dtype=jnp.float32) + 0.5
 
@@ -84,8 +85,10 @@ def render_reference(
     width: int,
     height: int,
     config: RenderConfig = RenderConfig(),
-) -> Tuple[jax.Array, jax.Array]:
-    """Depth-sort then composite. Returns (image (H,W,3), T_final (H,W)).
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Depth-sort then composite. Returns (image (H,W,3), T_final (H,W),
+    depth (H,W) — the α-weighted expected camera-space depth, composited as a
+    fourth color channel).
 
     Background is applied here: C += T_final · bg. The sort indices are
     stop-gradiented implicitly (argsort is integer-valued); everything else is
@@ -96,7 +99,7 @@ def render_reference(
     image, t_final = composite_sorted(
         means2d[order],
         conics[order],
-        colors[order],
+        jnp.concatenate([colors, depths[:, None]], axis=1)[order],
         opacities[order],
         valid[order],
         width,
@@ -104,5 +107,6 @@ def render_reference(
         config,
     )
     bg = jnp.asarray(config.background, jnp.float32)
-    image = image + t_final[..., None] * bg
-    return image, t_final
+    depth = image[..., 3]
+    image = image[..., :3] + t_final[..., None] * bg
+    return image, t_final, depth

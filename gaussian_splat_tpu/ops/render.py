@@ -30,6 +30,7 @@ from gaussian_splat_tpu.ops.projection import ProjectedGaussians, project_gaussi
 class RenderOutput(NamedTuple):
     image: jax.Array  # (H, W, 3) composited color (background applied)
     alpha: jax.Array  # (H, W) 1 − T_final
+    depth: jax.Array = None  # (H, W) α-weighted expected camera-space depth
     projected: Optional[ProjectedGaussians] = None  # per-gaussian debug info
 
 
@@ -70,7 +71,7 @@ def render(
     opacities = _effective_opacities(model, proj, config)
 
     if backend == "reference":
-        image, t_final = reference_ops.render_reference(
+        image, t_final, depth = reference_ops.render_reference(
             proj.means2d,
             proj.conics,
             colors,
@@ -84,16 +85,18 @@ def render(
     elif backend == "jnp_tile":
         from gaussian_splat_tpu.ops import tile_raster
 
-        image, t_final = tile_raster.render_tiled(
+        image, t_final, depth = tile_raster.render_tiled(
             proj, colors, opacities, camera.width, camera.height, config
         )
     elif backend == "pallas":
         from gaussian_splat_tpu.ops import pallas_raster
 
-        image, t_final = pallas_raster.render_tiled_pallas(
+        image, t_final, depth = pallas_raster.render_tiled_pallas(
             proj, colors, opacities, camera.width, camera.height, config
         )
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
-    return RenderOutput(image=image, alpha=1.0 - t_final, projected=proj)
+    return RenderOutput(
+        image=image, alpha=1.0 - t_final, depth=depth, projected=proj
+    )

@@ -38,7 +38,7 @@ def composite_pairs(
     pair_tile: jax.Array,  # (B,) tile id (num_tiles = padding sentinel)
     means2d_p: jax.Array,  # (B, 2) per-pair gathered features
     conics_p: jax.Array,  # (B, 3)
-    colors_p: jax.Array,  # (B, 3)
+    colors_p: jax.Array,  # (B, C) — RGB(+depth) channels, composited alike
     opac_p: jax.Array,  # (B,)
     valid_p: jax.Array,  # (B,) bool
     tile_offsets: jax.Array,  # (T,)
@@ -84,8 +84,9 @@ def composite_pairs(
     weights = alpha * t_excl  # (B, npix)
 
     # scatter-add into tiles; sentinel rows land in a trash bucket T.
+    nchan = colors_p.shape[1]
     tiles_rgb = (
-        jnp.zeros((num_tiles + 1, npix, 3))
+        jnp.zeros((num_tiles + 1, npix, nchan))
         .at[pair_tile]
         .add(weights[..., None] * colors_p[:, None, :])
     )[:num_tiles]
@@ -103,8 +104,9 @@ def render_tiled(
     width: int,
     height: int,
     config: RenderConfig,
-) -> Tuple[jax.Array, jax.Array]:
-    """Full tiled render: bin → gather pair features → composite → assemble."""
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Full tiled render: bin → gather pair features → composite → assemble.
+    Returns (image (H,W,3), T_final (H,W), depth (H,W))."""
     ts = config.tile_size
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
@@ -118,14 +120,15 @@ def render_tiled(
 
     means2d_p = proj.means2d[order][g]
     conics_p = proj.conics[order][g]
-    colors_p = colors[order][g]
+    chans = jnp.concatenate([colors, proj.depths[:, None]], axis=1)
+    chans_p = chans[order][g]
     opac_p = opacities[order][g]
 
     tiles_rgb, t_final_tiles = composite_pairs(
         binning.pair_tile,
         means2d_p,
         conics_p,
-        colors_p,
+        chans_p,
         opac_p,
         valid_p,
         binning.tile_offsets,
@@ -139,5 +142,6 @@ def render_tiled(
         ..., 0
     ]
     bg = jnp.asarray(config.background, jnp.float32)
-    image = image + t_final[..., None] * bg
-    return image, t_final
+    depth = image[..., 3]
+    image = image[..., :3] + t_final[..., None] * bg
+    return image, t_final, depth

@@ -112,7 +112,7 @@ def render_sharded(
             valid=feats_all[:, 7] > 0.5,
             cov2d=feats_all[:, 2:5],  # placeholder (debug only)
         )
-        image, t_final = _raster_band(
+        image, t_final, depth = _raster_band(
             proj_all,
             feats_all[:, 8:11],
             feats_all[:, 11],
@@ -120,15 +120,15 @@ def render_sharded(
             band_h,
             local_cfg,
         )
-        return image, t_final
+        return image, t_final, depth
 
-    image, t_final = shard_map(
+    image, t_final, depth = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(axis_name), None),
-        out_specs=(P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
         check_vma=False,
     )(model, camera)
 
     # padded_h ≥ height; crop (keeps row sharding of the leading rows)
-    return image[:height], t_final[:height]
+    return image[:height], t_final[:height], depth[:height]

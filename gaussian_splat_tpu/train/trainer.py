@@ -71,7 +71,7 @@ def make_train_step(
         from gaussian_splat_tpu.parallel.sharded_render import render_sharded
 
         def render_image(model):
-            img, _ = render_sharded(model, camera, render_config, mesh, axis_name)
+            img, _, _ = render_sharded(model, camera, render_config, mesh, axis_name)
             return img
 
     else:

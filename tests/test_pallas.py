@@ -143,3 +143,25 @@ def test_jit_wraps_cleanly():
     b = np.asarray(fn(model))
     assert np.array_equal(a, b)
     assert np.all(np.isfinite(a))
+
+
+def test_depth_map_matches_oracle():
+    """Expected-depth channel agrees across backends; nearer scenes read lower."""
+    cam, model = _setup(n=80, width=64, height=48, seed=9)
+    out_ref = render(model, cam, REF)
+    out_pal = render(model, cam, PAL)
+    np.testing.assert_allclose(
+        np.asarray(out_pal.depth), np.asarray(out_ref.depth), atol=2e-4, rtol=1e-4
+    )
+    # depth is positive where alpha is significant, near the scene distance (~4)
+    a = np.asarray(out_ref.alpha)
+    d = np.asarray(out_ref.depth)
+    hit = a > 0.5
+    if hit.any():
+        mean_depth = (d[hit] / a[hit]).mean()
+        assert 2.0 < mean_depth < 6.0
+
+    # depth gradients flow (depth supervision works)
+    g = jax.grad(lambda m: jnp.mean(render(m, cam, PAL).depth))(model)
+    assert np.all(np.isfinite(np.asarray(g.means)))
+    assert float(jnp.abs(g.means).max()) > 0

@@ -33,7 +33,7 @@ def test_sharded_matches_single_chip(ndev):
     cam, model = _setup()
     mesh = make_mesh(ndev)
     img_single = render(model, cam, CFG).image
-    img_sharded, t_final = render_sharded(
+    img_sharded, t_final, _depth = render_sharded(
         shard_model(model, mesh), cam, CFG, mesh
     )
     assert img_sharded.shape == (128, 128, 3)
@@ -47,7 +47,7 @@ def test_sharded_nondivisible_tile_rows():
     cam, model = _setup(width=96, height=96)
     mesh = make_mesh(4)
     img_single = render(model, cam, CFG).image
-    img_sharded, _ = render_sharded(shard_model(model, mesh), cam, CFG, mesh)
+    img_sharded, _, _ = render_sharded(shard_model(model, mesh), cam, CFG, mesh)
     assert img_sharded.shape == (96, 96, 3)
     np.testing.assert_allclose(
         np.asarray(img_sharded), np.asarray(img_single), atol=1e-5, rtol=1e-4
@@ -63,7 +63,7 @@ def test_sharded_gradients_match_single_chip():
         return photometric_loss(render(m, cam, CFG).image, target, 0.2)
 
     def loss_sharded(m):
-        img, _ = render_sharded(m, cam, CFG, mesh)
+        img, _, _ = render_sharded(m, cam, CFG, mesh)
         return photometric_loss(img, target, 0.2)
 
     g_single = jax.grad(loss_single)(model)
