@@ -53,10 +53,11 @@ class Viewer:
         self.config = config
         self.width = width
         self.height = height
+        self.mode = "color"  # "color" | "depth" | "alpha" debug views
         self.trackball = TrackballCamera()
         self.timers = ScopeTimer()
         self._render_jit = jax.jit(
-            lambda m, cam: render(m, cam, config).image
+            lambda m, cam: render(m, cam, config)[:3]  # (image, alpha, depth)
         )
 
     # -- single frame --------------------------------------------------------
@@ -64,7 +65,19 @@ class Viewer:
         cam = camera or self.trackball.camera(self.width, self.height)
         with self.timers.scope("frame") as h:
             h["result"] = self._render_jit(self.model, cam)
-        return to_uint8(h["result"])
+        image, alpha, depth = h["result"]
+        if self.mode == "alpha":
+            image = jnp.repeat(alpha[..., None], 3, axis=-1)
+        elif self.mode == "depth":
+            # normalized inverse-depth heat view (near = bright)
+            a = jnp.maximum(alpha, 1e-6)
+            d = depth / a
+            inv = jnp.where(alpha > 0.05, 1.0 / jnp.maximum(d, 1e-3), 0.0)
+            inv = inv / jnp.maximum(inv.max(), 1e-6)
+            image = jnp.stack([inv, inv * 0.6, 1.0 - inv], axis=-1) * (
+                alpha[..., None] > 0.05
+            )
+        return to_uint8(image)
 
     def metrics(self) -> dict:
         frame = self.timers.stats.get("frame")
@@ -164,6 +177,10 @@ class Viewer:
                         tb.handle_mouse_up()
                     elif kind == "scroll":
                         tb.handle_scroll(float(q["dy"][0]))
+                    elif kind == "mode":
+                        m = q.get("m", ["color"])[0]
+                        if m in ("color", "depth", "alpha"):
+                            viewer.mode = m
                     self.send_response(204)
                     self.end_headers()
                 else:
@@ -202,5 +219,8 @@ window.addEventListener('mousemove',e=>send(`kind=move&x=${e.clientX}&y=${e.clie
 window.addEventListener('mouseup',()=>send('kind=up'));
 img.addEventListener('wheel',e=>{e.preventDefault();send(`kind=scroll&dy=${Math.sign(e.deltaY)}`)});
 img.addEventListener('contextmenu',e=>e.preventDefault());
+window.addEventListener('keydown',e=>{
+ const m={c:'color',d:'depth',a:'alpha'}[e.key];
+ if(m)send('kind=mode&m='+m);});
 </script></body></html>
 """
