@@ -521,7 +521,12 @@ def _gather_pairs_bwd(res, d_pairs):
     cs = jnp.concatenate(
         [jnp.zeros((1, live), d_pairs.dtype), jnp.cumsum(ds, axis=0)], axis=0
     )
-    bounds = jnp.searchsorted(sk, jnp.arange(n + 1, dtype=jnp.int32), side="left")
+    # method='sort': the binary-search lowering costs 514 ms at 8M keys / 1M
+    # queries on a v5e (23 rounds of dependent gathers); the sort-based
+    # lowering is one more regular-access sort (~50 ms)
+    bounds = jnp.searchsorted(
+        sk, jnp.arange(n + 1, dtype=jnp.int32), side="left", method="sort"
+    )
     d_live = cs[bounds[1:]] - cs[bounds[:-1]]
     d_feats = jnp.concatenate(
         [d_live, jnp.zeros((n, f - live), d_pairs.dtype)], axis=1
