@@ -500,38 +500,55 @@ NCOLS_LIVE = 10  # only [mx,my,A,B,C,r,g,b,depth,op] carry gradients; the 6 pad
 
 
 @jax.custom_vjp
-def gather_pairs(feats_rows, src):
-    """feats_rows: (N, F); src: (B,) int32 → (B, F)."""
+def gather_pairs(feats_rows, order, ranks_keyed, rank_starts):
+    """Per-pair feature gather with a sort-based segment-sum VJP.
+
+    feats_rows: (N, F) per-gaussian features (original index order)
+    order: (N,) depth argsort (rank → original index)
+    ranks_keyed: (B,) depth rank per pair, == N on invalid/padding rows
+    rank_starts: (N+1,) exact per-rank pair boundaries from binning
+
+    Returns (B, F). The backward re-sorts cotangents by rank and segment-sums
+    with cumsum + the FREE boundaries (rank-deterministic overflow makes them
+    exact) — a binary-search `searchsorted` here cost 514 ms at 1M/1080p and
+    even the sort-based lowering 125 ms; rank_starts eliminates it entirely.
+    """
+    n = feats_rows.shape[0]
+    src = jnp.take(order, ranks_keyed.clip(0, n - 1))
     return jnp.take(feats_rows, src, axis=0)
 
 
-def _gather_pairs_fwd(feats_rows, src):
-    return jnp.take(feats_rows, src, axis=0), (src, feats_rows.shape[0])
+def _gather_pairs_fwd(feats_rows, order, ranks_keyed, rank_starts):
+    out = gather_pairs(feats_rows, order, ranks_keyed, rank_starts)
+    return out, (order, ranks_keyed, rank_starts, feats_rows.shape[0])
 
 
 def _gather_pairs_bwd(res, d_pairs):
-    src, n = res
-    b = src.shape[0]
+    order, ranks_keyed, rank_starts, n = res
+    b = ranks_keyed.shape[0]
     f = d_pairs.shape[1]
     live = min(NCOLS_LIVE, f)
-    sk, perm = jax.lax.sort(
-        (src, jnp.arange(b, dtype=jnp.int32)), num_keys=1
+    # invalid rows carry the sentinel rank N → sort past rank_starts[-1]
+    _, perm = jax.lax.sort(
+        (ranks_keyed, jnp.arange(b, dtype=jnp.int32)), num_keys=1
     )
     ds = jnp.take(d_pairs[:, :live], perm, axis=0)
     cs = jnp.concatenate(
         [jnp.zeros((1, live), d_pairs.dtype), jnp.cumsum(ds, axis=0)], axis=0
     )
-    # method='sort': the binary-search lowering costs 514 ms at 8M keys / 1M
-    # queries on a v5e (23 rounds of dependent gathers); the sort-based
-    # lowering is one more regular-access sort (~50 ms)
-    bounds = jnp.searchsorted(
-        sk, jnp.arange(n + 1, dtype=jnp.int32), side="left", method="sort"
+    d_rank = cs[rank_starts[1:]] - cs[rank_starts[:-1]]  # (N, live), rank order
+    # rank order → original order via the inverse permutation (small scatter)
+    inv = (
+        jnp.zeros((n,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(n, dtype=jnp.int32))
     )
-    d_live = cs[bounds[1:]] - cs[bounds[:-1]]
+    d_live = jnp.take(d_rank, inv, axis=0)
     d_feats = jnp.concatenate(
         [d_live, jnp.zeros((n, f - live), d_pairs.dtype)], axis=1
     )
-    return d_feats, np.zeros(src.shape, dtype=jax.dtypes.float0)
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return d_feats, f0(order), f0(ranks_keyed), f0(rank_starts)
 
 
 gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
@@ -577,8 +594,9 @@ def render_tiled_pallas(
 
     binning = bin_gaussians(proj, width, height, config)
     valid_p = binning.pair_tile < num_tiles
-    # composed index: original-gaussian id per pair (one gather instead of two)
-    src = jnp.take(binning.order, binning.pair_gauss)
+    n = proj.means2d.shape[0]
+    # pair ranks with a sentinel on padding rows → exact VJP segments
+    ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
 
     feats_rows = jnp.concatenate(
         [
@@ -587,11 +605,13 @@ def render_tiled_pallas(
             colors,  # (N, 3)
             proj.depths[:, None],  # (N, 1) — composited as a 4th channel
             opacities[:, None],  # (N, 1)
-            jnp.zeros((proj.means2d.shape[0], NFEAT - 10), jnp.float32),
+            jnp.zeros((n, NFEAT - 10), jnp.float32),
         ],
         axis=1,
     )  # (N, 16)
-    pair_rows = gather_pairs(feats_rows, src)  # (B_pad, 16), sort-based VJP
+    pair_rows = gather_pairs(
+        feats_rows, binning.order, ranks_keyed, binning.rank_starts
+    )  # (B, 16), sort-based VJP with free rank boundaries
     # padding rows must be inert: zero them (they were gathered from gaussian 0)
     pair_rows = jnp.where(valid_p[:, None], pair_rows, 0.0)
     pair_feats = pair_rows.T  # (16, B_pad) — the kernels' feature-major layout

@@ -127,8 +127,12 @@ def test_overflow_accounting():
     assert int(res.num_pairs) > tight.pair_budget(3000)  # scene big enough
     assert int(res.overflow) > 0
     kept = int(jnp.sum(res.tile_counts))
-    assert kept == tight.pair_budget(3000)
+    # rank-deterministic truncation: whole farthest gaussians drop, so kept
+    # fills the budget up to (at most) one partial gaussian short of it
+    assert kept <= tight.pair_budget(3000)
     assert kept + int(res.overflow) == int(res.num_pairs)
+    # rank_starts boundaries are exact
+    assert int(res.rank_starts[-1]) == kept
 
 
 def test_rect_clamp_for_huge_gaussian():
