@@ -25,6 +25,8 @@ def _add_render_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--background", type=float, nargs=3, default=[0.0, 0.0, 0.0])
     p.add_argument("--pairs-per-gaussian", type=float, default=8.0)
+    p.add_argument("--antialiased", action="store_true",
+                   help="gsplat antialiased mode (opacity compensation)")
     p.add_argument("--aabb-clip", type=float, default=None,
                    help="drop splats with any |coord| >= R (reference uses 5, "
                         "instanced_splat_renderer.mm:383-387)")
@@ -39,6 +41,7 @@ def _render_config(args):
         sh_degree=args.sh_degree,
         background=tuple(args.background),
         pairs_per_gaussian=args.pairs_per_gaussian,
+        antialiased=getattr(args, "antialiased", False),
     )
 
 
@@ -102,6 +105,55 @@ def cmd_train(args) -> int:
     return 0
 
 
+def cmd_turntable(args) -> int:
+    from gaussian_splat_tpu.viewer.viewer import Viewer
+
+    model = _load_model(args)
+    viewer = Viewer(model, _render_config(args), width=args.width, height=args.height)
+    viewer.orbit_turntable(
+        n_frames=args.frames,
+        radius=args.radius,
+        elevation_deg=args.elevation,
+        out_dir=args.out_dir,
+    )
+    print(f"wrote {args.frames} frames to {args.out_dir}/")
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Cross-check the fast backends against the oracle on a small crop of the
+    scene — the trust-but-verify command (reference has no equivalent; its only
+    verification is visual inspection, SURVEY §4)."""
+    import numpy as np
+
+    from gaussian_splat_tpu.camera import orbit_camera
+    from gaussian_splat_tpu.ops.render import render
+
+    model = _load_model(args)
+    if model.num_gaussians > args.sample:
+        import jax
+
+        idx = np.random.default_rng(0).choice(
+            model.num_gaussians, args.sample, replace=False
+        )
+        import jax.numpy as jnp
+
+        model = jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)[idx]), model)
+    cam = orbit_camera(args.radius, 30.0, 20.0, width=160, height=120)
+    cfg_ref = _render_config(args)
+    import dataclasses
+
+    ref = render(model, cam, dataclasses.replace(cfg_ref, backend="reference")).image
+    ok = True
+    for be in ["jnp_tile", "pallas"]:
+        img = render(model, cam, dataclasses.replace(cfg_ref, backend=be)).image
+        err = float(np.abs(np.asarray(img) - np.asarray(ref)).max())
+        status = "OK " if err < args.tol else "FAIL"
+        ok &= err < args.tol
+        print(f"{status} {be:<10} max|Δ| vs oracle = {err:.2e} (tol {args.tol:.0e})")
+    return 0 if ok else 1
+
+
 def cmd_info(args) -> int:
     import numpy as np
 
@@ -153,6 +205,26 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoint-dir", default=None)
     _add_render_config_args(p)
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("turntable", help="render an orbit to PNG frames")
+    p.add_argument("ply")
+    p.add_argument("--out-dir", default="turntable")
+    p.add_argument("--frames", type=int, default=60)
+    p.add_argument("--width", type=int, default=1280)
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--radius", type=float, default=5.0)
+    p.add_argument("--elevation", type=float, default=20.0)
+    _add_render_config_args(p)
+    p.set_defaults(fn=cmd_turntable)
+
+    p = sub.add_parser("validate", help="cross-check backends vs the oracle")
+    p.add_argument("ply")
+    p.add_argument("--sample", type=int, default=2000,
+                   help="subsample to this many splats (oracle is O(N·H·W))")
+    p.add_argument("--radius", type=float, default=5.0)
+    p.add_argument("--tol", type=float, default=1e-3)
+    _add_render_config_args(p)
+    p.set_defaults(fn=cmd_validate)
 
     p = sub.add_parser("info", help="scene statistics")
     p.add_argument("ply")
