@@ -296,6 +296,7 @@ def _bwd_kernel(
 
     px, py = _pixel_coords(static, t)
     strict_upper, upper = _tri_matrices(g)
+    log_eps = np.float32(np.log(max(static.trans_eps, 1e-30)))
 
     cot_t = _transpose_mm(cot_ref[:, :])  # (P, 8)
     fwd_t = _transpose_mm(fwd_out_ref[:, :])  # (P, 8)
@@ -356,6 +357,24 @@ def _bwd_kernel(
         def _():
             dma_out(slot, i - NBUF).wait()
 
+        # saturation early-skip, mirroring the forward: once every pixel's
+        # transmittance is below trans_eps, remaining pairs' gradients are
+        # O(eps) — write zeros instead of computing them. Chunk 0 is always
+        # live (logT starts at 0), so the shared-head RMW stays on the live path.
+        live = jnp.max(state[:, 0:1]) > log_eps
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            gbuf[slot] = jnp.zeros((NFEAT, g), jnp.float32)
+
+        @pl.when(live)
+        def _():
+            _bwd_chunk(i, slot)
+
+        dma_out(slot, i).start()
+        return 0
+
+    def _bwd_chunk(i, slot):
         f = fbuf[slot]
         alpha, la, (dx, dy, sigma, alpha_raw, keep) = _chunk_alpha(
             static, f, px, py, base + i * g, off, end
@@ -408,12 +427,9 @@ def _bwd_kernel(
             dma_head_in().wait()
             gbuf[slot] = grads + hbuf[:, :]
 
-        dma_out(slot, i).start()
-
         # advance carried state
         state[:, 0:1] = state[:, 0:1] + jnp.sum(la, axis=1, keepdims=True)
         state[:, 1:2] = incl[:, g - 1 : g]
-        return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
 
