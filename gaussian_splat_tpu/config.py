@@ -51,6 +51,11 @@ class RenderConfig:
     #   tiled paths agree exactly: a pixel outside a splat's tile rect is
     #   provably outside its extent ellipse.
 
+    opacity_aware_extent: bool = True  # shrink billboard extents to
+    #   √(2·ln(op/alpha_skip)·λmax) when tighter than sigma_extent: pixels
+    #   beyond it have α < alpha_skip and are zeroed by every backend anyway,
+    #   so this changes NOTHING in the output while bounding tile-rect crop
+    #   error and cutting pair counts for dim splats
     antialiased: bool = False  # gsplat "antialiased" mode: scale opacity by
     #   √(det Σ / det(Σ+dilation·I)) so sub-pixel splats fade out instead of
     #   aliasing (the dilation's principled counterpart)

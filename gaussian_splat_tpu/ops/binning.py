@@ -96,6 +96,15 @@ def _shrink_to_cap(tx0, ty0, w, h, cap, mx, my, ts, tx_n, ty_n, apply=None):
     s = jnp.sqrt(cap / jnp.maximum(area, 1).astype(jnp.float32))
     w_c = jnp.maximum((w.astype(jnp.float32) * s).astype(jnp.int32), 1)
     h_c = jnp.maximum((h.astype(jnp.float32) * s).astype(jnp.int32), 1)
+    # Thin rects can violate the cap after the floor-and-bump above (e.g. a
+    # 64×1 rect with cap 16: h_c floors to 0 → bumped to 1 while w_c=32).
+    # Re-clamp so w_c·h_c ≤ cap ALWAYS holds — rank_starts counts the full
+    # rect area, so an area > the expansion block size would shift every
+    # downstream VJP segment boundary (advisor finding, round 1).
+    w_c = jnp.minimum(w_c, cap // jnp.maximum(h_c, 1))
+    h_c = jnp.minimum(h_c, cap // jnp.maximum(w_c, 1))
+    w_c = jnp.maximum(w_c, 1)
+    h_c = jnp.maximum(h_c, 1)
     cx = jnp.clip(jnp.floor(mx / ts).astype(jnp.int32), 0, tx_n - 1)
     cy = jnp.clip(jnp.floor(my / ts).astype(jnp.int32), 0, ty_n - 1)
     tx0_c = jnp.clip(cx - (w_c - 1) // 2, 0, tx_n - w_c)

@@ -90,11 +90,24 @@ def project_gaussians(
     near_plane: float = 0.01,
     cov2d_dilation: float = 0.3,
     sigma_extent: float = 3.0,
+    opacities: jax.Array = None,  # (N,) activated opacities (optional)
+    alpha_skip: float = None,
 ) -> ProjectedGaussians:
     """Project all gaussians to screen space and cull.
 
     Vectorized counterpart of the per-instance vertex shader
     (gaussian_splat.metal:109-196). Differentiable w.r.t. means/quats/scales.
+
+    When `opacities` and `alpha_skip` are given, the billboard extent is
+    opacity-aware: a splat's contribution α = op·exp(−σ) falls below
+    `alpha_skip` — and is therefore zeroed by EVERY backend's α-skip test —
+    once σ > ln(op/alpha_skip), so the radius shrinks to
+    √(2·min(σ_cutoff, ln(op/alpha_skip))·λmax) with NO change in rendered
+    output. This bounds the tile-rect crop error (a splat that fits its full
+    opacity-aware rect loses nothing) and cuts pair counts for dim splats;
+    splats with op ≤ alpha_skip cull outright. The reference instead evaluates
+    a fixed 3σ billboard and discards low contributions per fragment
+    (gaussian_splat_50layer.metal:131-132,156-157).
     """
     W = camera.rotation  # (3,3)
     t = camera.translation  # (3,)
@@ -159,7 +172,18 @@ def project_gaussians(
     mid = 0.5 * (a + c)
     disc = jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.1))
     lambda_max = mid + disc
-    radius_f = sigma_extent * jnp.sqrt(jnp.maximum(lambda_max, 0.0))
+    # σ ≤ σ_max on the contributing set; radius = √(2·σ_max·λmax) bounds its
+    # ellipse. With σ_max = σ_cutoff (= extent²/2) this is the classic 3σ
+    # radius; the opacity-aware min() below only removes provably-zero pixels.
+    sigma_max = 0.5 * sigma_extent * sigma_extent
+    if opacities is not None and alpha_skip is not None and alpha_skip > 0.0:
+        sigma_max = jnp.minimum(
+            sigma_max,
+            jnp.log(jnp.maximum(opacities, 1e-30)) - jnp.log(alpha_skip),
+        )
+    radius_f = jnp.sqrt(
+        2.0 * jnp.maximum(sigma_max, 0.0) * jnp.maximum(lambda_max, 0.0)
+    )
     radii = jnp.ceil(radius_f).astype(jnp.int32)
 
     # --- projected center (pixels) -----------------------------------------

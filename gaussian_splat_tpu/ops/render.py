@@ -43,6 +43,10 @@ def _project_and_shade(model: GaussianModel, camera: Camera, config: RenderConfi
         near_plane=config.near_plane,
         cov2d_dilation=config.cov2d_dilation,
         sigma_extent=config.sigma_extent,
+        # opacity-aware extents are an upper bound for the antialiased mode
+        # too: compensation ≤ 1 only lowers effective opacity further
+        opacities=model.opacities if config.opacity_aware_extent else None,
+        alpha_skip=config.alpha_skip if config.opacity_aware_extent else None,
     )
     degree = min(config.sh_degree, model.sh_degree)
     dirs = view_directions(model.means, camera)

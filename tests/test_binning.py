@@ -158,3 +158,65 @@ def test_binning_jits():
     a = fn(proj)
     b = bin_gaussians(proj, cam.width, cam.height, CFG).num_pairs
     assert int(a) == int(b)
+
+
+def test_shrink_to_cap_never_exceeds_cap():
+    """Thin rects (edge-clipped wide splats) must respect the area cap: the
+    floor-and-bump in _shrink_to_cap used to let a 64x1 rect shrink to 32x1
+    with cap 16, desynchronizing rank_starts from the emitted pair count
+    (round-1 advisor finding)."""
+    from gaussian_splat_tpu.ops.binning import _shrink_to_cap
+
+    rs = np.random.RandomState(0)
+    m = 500
+    w = rs.randint(1, 80, m)
+    h = rs.randint(1, 80, m)
+    # include the exact pathological shapes
+    w[:4] = [64, 1, 70, 17]
+    h[:4] = [1, 64, 2, 1]
+    tx0 = np.zeros(m, np.int32)
+    ty0 = np.zeros(m, np.int32)
+    mx = (tx0 + w / 2.0) * 16.0
+    my = (ty0 + h / 2.0) * 16.0
+    for cap in (4, 16, 64):
+        _, _, w_c, h_c, _ = _shrink_to_cap(
+            jnp.asarray(tx0), jnp.asarray(ty0), jnp.asarray(w), jnp.asarray(h),
+            cap, jnp.asarray(mx), jnp.asarray(my), 16, 1000, 1000,
+        )
+        area = np.asarray(w_c) * np.asarray(h_c)
+        assert area.max() <= cap, (cap, area.max())
+        assert area.min() >= 1
+
+
+def test_rank_starts_match_emitted_pairs_thin_rects():
+    """End-to-end: an edge-clipped anisotropic splat (thin wide rect) followed
+    by normal splats — rank_starts must equal the per-rank emitted pair counts
+    exactly, or every later gaussian's VJP segment shifts."""
+    width, height = 256, 64
+    cam = Camera.from_lookat((0, 0, -4), (0, 0, 0), (0, 1, 0), 60.0, width, height)
+    n = 12
+    rs = np.random.RandomState(3)
+    means = rs.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    log_scales = np.full((n, 3), np.log(0.05), np.float32)
+    # splat 0: extremely anisotropic, centered just above the top edge so the
+    # on-screen rect is a thin wide strip
+    means[0] = [0.0, -1.36, 0.0]
+    log_scales[0] = [np.log(2.0), np.log(0.004), np.log(0.004)]
+    model = GaussianModel.create(
+        means=means,
+        quats=np.tile([1.0, 0.0, 0.0, 0.0], (n, 1)),
+        log_scales=log_scales,
+        opacity_logits=np.full((n,), 2.0),
+        sh=rs.uniform(0.0, 1.0, (n, 1, 3)),
+    )
+    cfg = RenderConfig(small_tiles_per_gaussian=8, max_tiles_per_gaussian=16)
+    proj = project_gaussians(model.means, model.quats, model.scales, cam)
+    assert bool(proj.valid[0]), "edge splat must survive culling for this test"
+    b = bin_gaussians(proj, width, height, cfg)
+    num_tiles = cfg.num_tiles(width, height)
+    valid_pair = np.asarray(b.pair_tile) < num_tiles
+    ranks = np.asarray(b.pair_gauss)[valid_pair]
+    counts = np.bincount(ranks, minlength=n)
+    rank_starts = np.asarray(b.rank_starts)
+    claimed = rank_starts[1:] - rank_starts[:-1]
+    np.testing.assert_array_equal(counts, claimed)

@@ -165,3 +165,73 @@ def test_depth_map_matches_oracle():
     g = jax.grad(lambda m: jnp.mean(render(m, cam, PAL).depth))(model)
     assert np.all(np.isfinite(np.asarray(g.means)))
     assert float(jnp.abs(g.means).max()) > 0
+
+
+def test_thin_rect_gradients_match_oracle():
+    """Regression (round-1 advisor): an edge-clipped thin-wide splat used to
+    violate the shrink cap, shifting VJP segment boundaries so later gaussians
+    received each other's gradients."""
+    width, height = 256, 64
+    cam = Camera.from_lookat((0, 0, -4), (0, 0, 0), (0, 1, 0), 60.0, width, height)
+    n = 12
+    rs = np.random.RandomState(3)
+    means = rs.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    log_scales = np.full((n, 3), np.log(0.05), np.float32)
+    means[0] = [0.0, -1.36, 0.0]
+    log_scales[0] = [np.log(2.0), np.log(0.004), np.log(0.004)]
+    model = GaussianModel.create(
+        means=means,
+        quats=np.tile([1.0, 0.0, 0.0, 0.0], (n, 1)),
+        log_scales=log_scales,
+        opacity_logits=np.full((n,), 2.0),
+        sh=rs.uniform(0.0, 1.0, (n, 1, 3)),
+    )
+    # jnp_tile (not the oracle): the thin splat's rect IS legitimately cropped
+    # to the cap, so only backends sharing the crop semantics can agree exactly
+    ref = RenderConfig(backend="jnp_tile", small_tiles_per_gaussian=8,
+                       max_tiles_per_gaussian=16)
+    pal = RenderConfig(backend="pallas", small_tiles_per_gaussian=8,
+                       max_tiles_per_gaussian=16)
+    target = jax.random.uniform(jax.random.PRNGKey(7), (height, width, 3))
+
+    def loss(m, cfg):
+        return jnp.mean((render(m, cam, cfg).image - target) ** 2)
+
+    g_ref = jax.grad(lambda m: loss(m, ref))(model)
+    g_pal = jax.grad(lambda m: loss(m, pal))(model)
+    for name in ["means", "opacity_logits", "sh"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_pal, name)),
+            np.asarray(getattr(g_ref, name)),
+            atol=1e-5, rtol=3e-3, err_msg=name,
+        )
+
+
+def test_opacity_aware_extent_is_output_neutral():
+    """Opacity-aware extents shrink rects only past the alpha_skip contour, so
+    the rendered image and gradients are unchanged — including dim splats."""
+    cam, model = _setup(n=100, width=96, height=64, seed=11)
+    # spread opacities across dim..opaque (logits -6..3 → op 0.002..0.95)
+    model = model.replace(
+        opacity_logits=jnp.linspace(-6.0, 3.0, model.num_gaussians)
+    )
+    on = RenderConfig(backend="pallas", opacity_aware_extent=True)
+    off = RenderConfig(backend="pallas", opacity_aware_extent=False)
+    img_on = render(model, cam, on).image
+    img_off = render(model, cam, off).image
+    np.testing.assert_allclose(
+        np.asarray(img_on), np.asarray(img_off), atol=1e-6
+    )
+
+    def loss(m, cfg):
+        return jnp.mean(render(m, cam, cfg).image ** 2)
+
+    g_on = jax.grad(lambda m: loss(m, on))(model)
+    g_off = jax.grad(lambda m: loss(m, off))(model)
+    np.testing.assert_allclose(
+        np.asarray(g_on.opacity_logits), np.asarray(g_off.opacity_logits),
+        atol=1e-6, rtol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_on.means), np.asarray(g_off.means), atol=1e-6, rtol=1e-4
+    )
