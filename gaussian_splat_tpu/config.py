@@ -26,8 +26,14 @@ class RenderConfig:
     tile_size: int = 16  # pixels per tile edge (the unused imageblock prototype in
     #   the reference also chose 16×16 tiles, shaders/gaussian_splat_types.h:7-9)
     chunk_size: int = 128  # gaussians processed per MXU chunk inside the tile kernel
-    #   (must be a multiple of the 128-lane width so chunk DMAs are lane-aligned);
-    #   tile segments are padded to a multiple of this so chunk DMAs never cross tiles
+    #   (must be a multiple of the 128-lane width so chunk DMAs are lane-aligned).
+    #   Segments are UNALIGNED: kernels stream 128-aligned supersets with row
+    #   masks, and the backward RMWs the boundary chunk shared with the
+    #   preceding tile (safe: TPU grid programs execute sequentially).
+    dma_chunks: int = 2  # compute chunks per kernel DMA — the kernels are
+    #   DMA-issue/loop-overhead bound, so each transfer fetches
+    #   chunk_size·dma_chunks pairs (measured best at 2; the pair array is
+    #   padded so superset reads past the last segment stay in bounds)
 
     # Binning capacities (static shapes on a shape-static compiler) ----------
     max_tiles_per_gaussian: int = 64  # cap on tile-rect area for the BIG tier;

@@ -257,10 +257,11 @@ def bin_gaussians(
     sorted_keys = sorted_keys[:budget]
     sorted_gauss = sorted_gauss[:budget]
 
-    # pad the pair array to a chunk multiple: the kernels DMA 128-aligned
-    # supersets, which may reach past the last valid row
+    # pad the pair array to a chunk multiple, plus one extra super-chunk: the
+    # kernels DMA chunk·dma_chunks-wide supersets whose last transfer may
+    # reach up to (dma_chunks−1)·chunk past the rounded-up segment end
     chunk = config.chunk_size
-    pad = (-budget) % chunk
+    pad = (-budget) % chunk + chunk * config.dma_chunks
     if pad:
         sorted_keys = jnp.concatenate(
             [sorted_keys, jnp.full((pad,), num_tiles, jnp.int32)]

@@ -74,6 +74,11 @@ class RasterStatics(NamedTuple):
     sigma_cutoff: float
     trans_eps: float
     interpret: bool
+    schunks: int = 2  # compute chunks fetched per DMA: the kernels are DMA-
+    #   issue/loop-overhead bound (measured 22 of 31 ms with compute stubbed
+    #   out at 1M/1080p), so batching S chunks per transfer halves the
+    #   per-iteration machinery; S=2 measured best (S=4 loses to superset
+    #   waste on ~550-pair average segments)
 
 
 def _pixel_coords(static: RasterStatics, tile_id):
@@ -122,13 +127,31 @@ def _chunk_alpha(static: RasterStatics, f, px, py, row0, seg_lo, seg_hi):
     return alpha, la, (dx, dy, sigma, alpha_raw, keep)
 
 
-def _tri_matrices(g: int):
-    """Right-multiplication prefix matrices: (X @ M)[:, i] = Σ_{j<i} X[:, j]."""
+def _tri_matrix(g: int):
+    """Right-multiplication inclusive-prefix matrix: (X @ M)[:, i] = Σ_{j≤i} X[:, j].
+
+    The exclusive prefix is recovered as incl − X (exact), and the chunk total
+    as incl[:, −1] — one matmul serves all three, replacing a separate strict-
+    triangular matmul and a 7-pass cross-lane reduction."""
     r = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
-    strict_upper = (r < c).astype(jnp.float32)  # exclusive prefix
-    upper = (r <= c).astype(jnp.float32)  # inclusive prefix
-    return strict_upper, upper
+    return (r <= c).astype(jnp.float32)
+
+
+def _moment_basis(static: RasterStatics, tile_id):
+    """(8, P) tile-local pixel moment basis [1, x, y, x², xy, y², 0, 0].
+
+    Tile-LOCAL coordinates keep the raw→central moment conversion well
+    conditioned (x ≤ tile_size, vs. absolute pixel coords whose squares
+    catastrophically cancel)."""
+    ts = static.tile_size
+    npix = ts * ts
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
+    x = (p % ts).astype(jnp.float32) + 0.5
+    y = (p // ts).astype(jnp.float32) + 0.5
+    one = jnp.ones((1, npix), jnp.float32)
+    zero = jnp.zeros((2, npix), jnp.float32)
+    return jnp.concatenate([one, x, y, x * x, x * y, y * y, zero], axis=0)
 
 
 def _matmul(a, b, dims):
@@ -148,14 +171,60 @@ def _matmul(a, b, dims):
     )
 
 
+def _mm_x2(a, b, dims):
+    """2-pass split-f32 matmul against a bf16-exact RHS (0/1 matrices: the
+    triangular prefix masks and identity transposes).
+
+    LHS splits into bf16 hi + residual lo (|lo| ≤ 2⁻⁹|a|); each DEFAULT-
+    precision pass truncates its input to bf16, so the total input error is
+    ≤ 2⁻¹⁸|a| per term with exact f32 accumulation — ~1e-5 relative, at 2 MXU
+    passes instead of Precision.HIGHEST's ~6 (the forward kernel is almost
+    entirely this matmul's time). RHS must be exactly representable in bf16.
+    """
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    d = (dims, ((), ()))
+    kw = dict(
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return jax.lax.dot_general(a_hi, b, d, **kw) + jax.lax.dot_general(
+        a_lo, b, d, **kw
+    )
+
+
+def _mm_x2x2(a, b, dims):
+    """3-pass split-f32 matmul for data×data products (both operands split;
+    the lo·lo term is ≤2⁻¹⁸ relative and dropped)."""
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    d = (dims, ((), ()))
+    kw = dict(
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return (
+        jax.lax.dot_general(a_hi, b_hi, d, **kw)
+        + jax.lax.dot_general(a_hi, b_lo, d, **kw)
+        + jax.lax.dot_general(a_lo, b_hi, d, **kw)
+    )
+
+
 def _transpose_mm(x):
-    """(m, n) → (n, m) via identity matmul — avoids Mosaic relayout transposes."""
-    n = x.shape[1]
+    """(m, n) → (n, m) via identity matmul — avoids Mosaic relayout transposes.
+
+    Split-f32 (hi+lo) keeps the transpose exact to ~2⁻¹⁸ relative: eye is
+    bf16-exact, so each pass only truncates its own summand.
+    """
+    m = x.shape[0]
     eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
     ).astype(jnp.float32)
-    return _matmul(eye, x, (((1,), (1,))))  # (n, m)
+    # x on the LHS so the split-f32 treatment lands on the data operand
+    return _mm_x2(x, eye, (((0,), (0,))))  # (n, m)
 
 
 # ---------------------------------------------------------------------------
@@ -169,32 +238,35 @@ NBUF = 4  # input-DMA pipeline depth: chunk compute (~0.2 µs) is much shorter
 
 def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, fbuf, acc, sem):
     g = static.chunk
+    S = static.schunks
+    gS = g * S
     npix = static.tile_size * static.tile_size
     t = pl.program_id(0)
     off = offs_ref[t]
     cnt = cnts_ref[t]
     end = off + cnt
-    # segments are unaligned: stream the 128-aligned superset with row masks
+    # segments are unaligned: stream the 128-aligned superset with row masks;
+    # each DMA fetches S compute chunks (loop/DMA overhead dominates otherwise)
     base = pl.multiple_of((off // g) * g, g)
-    nchunks = jnp.where(cnt > 0, pl.cdiv(end - base, g), 0)
+    nsuper = jnp.where(cnt > 0, pl.cdiv(end - base, gS), 0)
 
     px, py = _pixel_coords(static, t)
-    strict_upper, _ = _tri_matrices(g)
+    upper = _tri_matrix(g)
 
     # acc: (P, 8) — cols 0-2 RGB, col 3 expected depth, col 4 running log-T
     acc[:, :] = jnp.zeros((npix, NROW), jnp.float32)
 
     def dma(slot, i):
-        start = pl.multiple_of(base + i * g, g)
+        start = pl.multiple_of(base + i * gS, g)
         return pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(start, g)],
+            feats_hbm.at[:, pl.ds(start, gS)],
             fbuf.at[slot],
             sem.at[slot],
         )
 
     for w in range(NBUF - 1):
 
-        @pl.when(nchunks > w)
+        @pl.when(nsuper > w)
         def _(w=w):
             dma(w, w).start()
 
@@ -203,7 +275,7 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
     def body(i, logT):
         slot = jax.lax.rem(i, NBUF)
 
-        @pl.when(i + NBUF - 1 < nchunks)
+        @pl.when(i + NBUF - 1 < nsuper)
         def _():
             dma(jax.lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1).start()
 
@@ -214,20 +286,28 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
 
         @pl.when(live)
         def _():
-            f = fbuf[slot]  # (NFEAT, G)
-            alpha, la, _ = _chunk_alpha(static, f, px, py, base + i * g, off, end)
-            excl = _matmul(la, strict_upper, ((1,), (0,)))  # (P, G)
-            t_in = jnp.exp(acc[:, 4:5])  # (P, 1)
-            w = alpha * jnp.exp(excl) * t_in  # (P, G): α_i · T_i
-            chans = f[5:9, :]  # (4, G): rgb + depth share the compositing math
-            delta = _matmul(w, chans, ((1,), (1,)))  # (P, 4)
-            acc[:, 0:4] = acc[:, 0:4] + delta
-            acc[:, 4:5] = acc[:, 4:5] + jnp.sum(la, axis=1, keepdims=True)
+            for s in range(S):
+                f = fbuf[slot][:, s * g : (s + 1) * g]  # (NFEAT, G)
+                alpha, la, _ = _chunk_alpha(
+                    static, f, px, py, base + i * gS + s * g, off, end
+                )
+                incl_la = _mm_x2(la, upper, ((1,), (0,)))  # (P, G) incl prefix
+                excl = incl_la - la  # exclusive prefix, exact given incl_la
+                w = alpha * jnp.exp(excl + acc[:, 4:5])  # (P, G): α_i · T_i
+                # rgb+depth accumulation as VPU lane reductions (exact f32) —
+                # a (P,G)@(G,4) MXU matmul pads N=4 to the full lane width and
+                # costs like a (G,128) one
+                chans = f[5:9, :]  # (4, G)
+                for c in range(4):
+                    acc[:, c : c + 1] = acc[:, c : c + 1] + jnp.sum(
+                        w * chans[c : c + 1, :], axis=1, keepdims=True
+                    )
+                acc[:, 4:5] = acc[:, 4:5] + incl_la[:, g - 1 : g]
 
         new_logT = jnp.where(live, jnp.max(acc[:, 4:5]), logT)
         return new_logT
 
-    jax.lax.fori_loop(0, nchunks, body, jnp.float32(0.0))
+    jax.lax.fori_loop(0, nsuper, body, jnp.float32(0.0))
 
     acc[:, 4:5] = jnp.exp(acc[:, 4:5])
     out_ref[:, :] = _transpose_mm(acc[:, :])  # (8, P)
@@ -236,7 +316,7 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
 def _raster_forward(pair_feats, offsets, counts, static: RasterStatics):
     num_tiles = static.tiles_x * static.tiles_y
     npix = static.tile_size * static.tile_size
-    g = static.chunk
+    g = static.chunk * static.schunks
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -281,21 +361,30 @@ def _bwd_kernel(
     hsem,
 ):
     g = static.chunk
+    S = static.schunks
+    gS = g * S
     npix = static.tile_size * static.tile_size
     t = pl.program_id(0)
     off = offs_ref[t]
     cnt = cnts_ref[t]
     end = off + cnt
     base = pl.multiple_of((off // g) * g, g)
-    nchunks = jnp.where(cnt > 0, pl.cdiv(end - base, g), 0)
-    # The first chunk may be shared with preceding tiles' tail rows: those
+    nsuper = jnp.where(cnt > 0, pl.cdiv(end - base, gS), 0)
+    # The first g-chunk may be shared with preceding tiles' tail rows: those
     # tiles already wrote their gradients there (grid programs run
     # sequentially and every out-DMA is drained before a program ends), so
-    # this tile must read-modify-write it instead of clobbering it.
+    # this tile must read-modify-write it instead of clobbering it. Only the
+    # FIRST g-chunk needs this: base is g-aligned to off, so predecessors'
+    # real data ends before base+g, and any predecessor superset-write fully
+    # covered that chunk (their write ends on a g boundary ≥ off).
     shared_head = off > base
 
     px, py = _pixel_coords(static, t)
-    strict_upper, upper = _tri_matrices(g)
+    upper = _tri_matrix(g)
+    basis = _moment_basis(static, t)  # (8, P) tile-local moment basis
+    ts = static.tile_size
+    ox = ((t % static.tiles_x) * ts).astype(jnp.float32)
+    oy = ((t // static.tiles_x) * ts).astype(jnp.float32)
     log_eps = np.float32(np.log(max(static.trans_eps, 1e-30)))
 
     cot_t = _transpose_mm(cot_ref[:, :])  # (P, 8)
@@ -310,18 +399,18 @@ def _bwd_kernel(
     state[:, :] = jnp.zeros((npix, NROW), jnp.float32)
 
     def dma_in(slot, i):
-        start = pl.multiple_of(base + i * g, g)
+        start = pl.multiple_of(base + i * gS, g)
         return pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(start, g)],
+            feats_hbm.at[:, pl.ds(start, gS)],
             fbuf.at[slot],
             sem.at[slot],
         )
 
     def dma_out(slot, i):
-        start = pl.multiple_of(base + i * g, g)
+        start = pl.multiple_of(base + i * gS, g)
         return pltpu.make_async_copy(
             gbuf.at[slot],
-            dfeats_hbm.at[:, pl.ds(start, g)],
+            dfeats_hbm.at[:, pl.ds(start, gS)],
             gsem.at[slot],
         )
 
@@ -333,20 +422,20 @@ def _bwd_kernel(
             hsem,
         )
 
-    @pl.when((nchunks > 0) & shared_head)
+    @pl.when((nsuper > 0) & shared_head)
     def _():
         dma_head_in().start()
 
     for w in range(NBUF - 1):
 
-        @pl.when(nchunks > w)
+        @pl.when(nsuper > w)
         def _(w=w):
             dma_in(w, w).start()
 
     def body(i, _):
         slot = jax.lax.rem(i, NBUF)
 
-        @pl.when(i + NBUF - 1 < nchunks)
+        @pl.when(i + NBUF - 1 < nsuper)
         def _():
             dma_in(jax.lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1).start()
 
@@ -365,29 +454,35 @@ def _bwd_kernel(
 
         @pl.when(jnp.logical_not(live))
         def _():
-            gbuf[slot] = jnp.zeros((NFEAT, g), jnp.float32)
+            gbuf[slot] = jnp.zeros((NFEAT, gS), jnp.float32)
 
         @pl.when(live)
         def _():
-            _bwd_chunk(i, slot)
+            for s in range(S):
+                _bwd_chunk(i, slot, s)
 
         dma_out(slot, i).start()
         return 0
 
-    def _bwd_chunk(i, slot):
-        f = fbuf[slot]
+    def _bwd_chunk(i, slot, s):
+        f = fbuf[slot][:, s * g : (s + 1) * g]
         alpha, la, (dx, dy, sigma, alpha_raw, keep) = _chunk_alpha(
-            static, f, px, py, base + i * g, off, end
+            static, f, px, py, base + i * gS + s * g, off, end
         )
 
-        excl = _matmul(la, strict_upper, ((1,), (0,)))
+        incl_la = _mm_x2(la, upper, ((1,), (0,)))  # (P, G) inclusive prefix
+        excl = incl_la - la
         t_i = jnp.exp(state[:, 0:1] + excl)  # (P, G) transmittance before i
         w = alpha * t_i
 
         chans = f[5:9, :]  # (4, G)
-        v = _matmul(gC, chans, ((1,), (0,)))  # (P, G) = gC·c_i per pixel
+        # v = Σ_c gC[:,c]·chans[c,:] — a K=4 matmul pads the contraction to
+        # the MXU width; 4 broadcast FMAs on the VPU are exact f32 and cheaper
+        v = gC[:, 0:1] * chans[0:1, :]
+        for c in range(1, 4):
+            v = v + gC[:, c : c + 1] * chans[c : c + 1, :]
         contrib = v * w
-        incl = state[:, 1:2] + _matmul(contrib, upper, ((1,), (0,)))
+        incl = state[:, 1:2] + _mm_x2(contrib, upper, ((1,), (0,)))
         # (P, G) inclusive prefix Σ_{j≤i} v_j α_j T_j
 
         one_minus_a = 1.0 - alpha  # ≥ 1 − alpha_clamp > 0
@@ -396,55 +491,76 @@ def _bwd_kernel(
         # chain through α = min(α_raw, clamp) with masks
         grad_live = keep & (alpha_raw < static.alpha_clamp)
         da = jnp.where(grad_live, da, 0.0)
-        dop_pix = da * jnp.exp(-sigma)
         dsigma = -da * alpha_raw  # d(op·e^{-σ})/dσ = −α_raw
+
+        # ONE moment matmul replaces six (P→1) sublane reductions and the
+        # ddx/ddy (P,G) intermediates: with dx = pxl − mxl in TILE-LOCAL
+        # coordinates (well-conditioned, unlike absolute pixel coords whose
+        # squares cancel), every needed reduction is a polynomial in the raw
+        # moments S_k = Σ_p dσ(p,·)·basis_k(p).
+        S = _mm_x2x2(basis, dsigma, ((1,), (0,)))  # (8, G)
+        s1 = S[0:1, :]
+        sx = S[1:2, :]
+        sy = S[2:3, :]
+        sxx = S[3:4, :]
+        sxy = S[4:5, :]
+        syy = S[5:6, :]
+        mxl = f[0:1, :] - ox
+        myl = f[1:2, :] - oy
+        m_x = sx - mxl * s1  # Σ_p dσ·dx
+        m_y = sy - myl * s1
+        m_xx = sxx - (2.0 * mxl) * sx + (mxl * mxl) * s1
+        m_xy = sxy - mxl * sy - myl * sx + (mxl * myl) * s1
+        m_yy = syy - (2.0 * myl) * sy + (myl * myl) * s1
 
         A = f[2:3, :]
         B = f[3:4, :]
         C = f[4:5, :]
-        ddx = dsigma * (A * dx + B * dy)
-        ddy = dsigma * (C * dy + B * dx)
-
-        dmx = -jnp.sum(ddx, axis=0, keepdims=True)  # (1, G)
-        dmy = -jnp.sum(ddy, axis=0, keepdims=True)
-        dA = jnp.sum(dsigma * 0.5 * dx * dx, axis=0, keepdims=True)
-        dB = jnp.sum(dsigma * dx * dy, axis=0, keepdims=True)
-        dC = jnp.sum(dsigma * 0.5 * dy * dy, axis=0, keepdims=True)
-        dop = jnp.sum(dop_pix, axis=0, keepdims=True)
-        dchans = _matmul(gC, w, ((0,), (0,)))  # (4, G): Σ_p gC(p,c)·w(p,g)
+        op = f[9:10, :]
+        dmx = -(A * m_x + B * m_y)  # (1, G)
+        dmy = -(C * m_y + B * m_x)
+        dA = 0.5 * m_xx
+        dB = m_xy
+        dC = 0.5 * m_yy
+        # Σ_p da·e^{-σ} = Σ_p (−dσ)/op = −S1/op (op is uniform per lane)
+        dop = jnp.where(op > 0.0, -s1 / jnp.where(op > 0.0, op, 1.0), 0.0)
+        dchans = _mm_x2x2(gC, w, ((0,), (0,)))  # (4, G): Σ_p gC(p,c)·w(p,g)
 
         zeros6 = jnp.zeros((NFEAT - 10, g), jnp.float32)
         grads = jnp.concatenate(
             [dmx, dmy, dA, dB, dC, dchans, dop, zeros6], axis=0
         )
         # out-of-segment columns are exactly zero (da/w masked), so a plain
-        # write is safe everywhere except the shared head chunk, which must
+        # write is safe everywhere except the shared head g-chunk, which must
         # accumulate onto the neighbors' already-written gradients
-        gbuf[slot] = grads
+        gbuf[slot, :, s * g : (s + 1) * g] = grads
 
-        @pl.when((i == 0) & shared_head)
-        def _():
-            dma_head_in().wait()
-            gbuf[slot] = grads + hbuf[:, :]
+        if s == 0:
+
+            @pl.when((i == 0) & shared_head)
+            def _():
+                dma_head_in().wait()
+                gbuf[slot, :, 0:g] = grads + hbuf[:, :]
 
         # advance carried state
-        state[:, 0:1] = state[:, 0:1] + jnp.sum(la, axis=1, keepdims=True)
+        state[:, 0:1] = state[:, 0:1] + incl_la[:, g - 1 : g]
         state[:, 1:2] = incl[:, g - 1 : g]
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
+    jax.lax.fori_loop(0, nsuper, body, 0)
 
     # drain the last ≤NBUF output DMAs
     for w in range(NBUF, 0, -1):
 
-        @pl.when(nchunks >= w)
+        @pl.when(nsuper >= w)
         def _(w=w):
-            dma_out(jax.lax.rem(nchunks - w, NBUF), nchunks - w).wait()
+            dma_out(jax.lax.rem(nsuper - w, NBUF), nsuper - w).wait()
 
 
 def _raster_backward(pair_feats, offsets, counts, fwd_out, cot, static: RasterStatics):
     num_tiles = static.tiles_x * static.tiles_y
     npix = static.tile_size * static.tile_size
     g = static.chunk
+    gS = g * static.schunks
     b_pad = pair_feats.shape[1]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -457,8 +573,8 @@ def _raster_backward(pair_feats, offsets, counts, fwd_out, cot, static: RasterSt
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, NFEAT, g), jnp.float32),
-            pltpu.VMEM((NBUF, NFEAT, g), jnp.float32),
+            pltpu.VMEM((NBUF, NFEAT, gS), jnp.float32),
+            pltpu.VMEM((NBUF, NFEAT, gS), jnp.float32),
             pltpu.VMEM((npix, NROW), jnp.float32),
             pltpu.VMEM((NFEAT, g), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
@@ -606,6 +722,7 @@ def render_tiled_pallas(
         sigma_cutoff=config.sigma_cutoff,
         trans_eps=config.transmittance_eps,
         interpret=bool(interpret),
+        schunks=config.dma_chunks,
     )
 
     binning = bin_gaussians(proj, width, height, config)

@@ -176,6 +176,7 @@ def main():
         tile_size=config.tile_size, tiles_x=config.tiles_x(W), tiles_y=config.tiles_y(H),
         chunk=config.chunk_size, alpha_clamp=config.alpha_clamp, alpha_skip=config.alpha_skip,
         sigma_cutoff=config.sigma_cutoff, trans_eps=config.transmittance_eps, interpret=False,
+        schunks=config.dma_chunks,
     )
     jax.block_until_ready(pair_feats)
 
