@@ -21,10 +21,11 @@ import sys
 
 def _add_render_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--backend", default="auto", choices=["auto", "pallas", "jnp_tile", "reference"])
-    p.add_argument("--tile-size", type=int, default=16)
+    p.add_argument("--tile-width", type=int, default=32)
+    p.add_argument("--tile-height", type=int, default=16)
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--background", type=float, nargs=3, default=[0.0, 0.0, 0.0])
-    p.add_argument("--pairs-per-gaussian", type=float, default=8.0)
+    p.add_argument("--pairs-per-gaussian", type=float, default=6.0)
     p.add_argument("--antialiased", action="store_true",
                    help="gsplat antialiased mode (opacity compensation)")
     p.add_argument("--aabb-clip", type=float, default=None,
@@ -37,7 +38,8 @@ def _render_config(args):
 
     return RenderConfig(
         backend=args.backend,
-        tile_size=args.tile_size,
+        tile_width=args.tile_width,
+        tile_height=args.tile_height,
         sh_degree=args.sh_degree,
         background=tuple(args.background),
         pairs_per_gaussian=args.pairs_per_gaussian,

@@ -65,7 +65,8 @@ NROW = 8  # output rows per tile: r,g,b,depth,T_final + 3 pad (f32 sublane tile)
 class RasterStatics(NamedTuple):
     """Hashable static parameters for the kernels (jit/custom_vjp friendly)."""
 
-    tile_size: int
+    tile_w: int
+    tile_h: int
     tiles_x: int
     tiles_y: int
     chunk: int  # must be 128 (lane width): binning aligns segments to this
@@ -82,14 +83,14 @@ class RasterStatics(NamedTuple):
 
 
 def _pixel_coords(static: RasterStatics, tile_id):
-    """Pixel-center coordinates of a tile as (P, 1) columns (P = ts²)."""
-    ts = static.tile_size
-    npix = ts * ts
+    """Pixel-center coordinates of a tile as (P, 1) columns (P = tw·th)."""
+    tw, th = static.tile_w, static.tile_h
+    npix = tw * th
     p = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
     tx = tile_id % static.tiles_x
     ty = tile_id // static.tiles_x
-    px = (tx * ts + p % ts).astype(jnp.float32) + 0.5
-    py = (ty * ts + p // ts).astype(jnp.float32) + 0.5
+    px = (tx * tw + p % tw).astype(jnp.float32) + 0.5
+    py = (ty * th + p // tw).astype(jnp.float32) + 0.5
     return px, py
 
 
@@ -142,13 +143,13 @@ def _moment_basis(static: RasterStatics, tile_id):
     """(8, P) tile-local pixel moment basis [1, x, y, x², xy, y², 0, 0].
 
     Tile-LOCAL coordinates keep the raw→central moment conversion well
-    conditioned (x ≤ tile_size, vs. absolute pixel coords whose squares
+    conditioned (x ≤ tile width, vs. absolute pixel coords whose squares
     catastrophically cancel)."""
-    ts = static.tile_size
-    npix = ts * ts
+    tw, th = static.tile_w, static.tile_h
+    npix = tw * th
     p = jax.lax.broadcasted_iota(jnp.int32, (1, npix), 1)
-    x = (p % ts).astype(jnp.float32) + 0.5
-    y = (p // ts).astype(jnp.float32) + 0.5
+    x = (p % tw).astype(jnp.float32) + 0.5
+    y = (p // tw).astype(jnp.float32) + 0.5
     one = jnp.ones((1, npix), jnp.float32)
     zero = jnp.zeros((2, npix), jnp.float32)
     return jnp.concatenate([one, x, y, x * x, x * y, y * y, zero], axis=0)
@@ -240,7 +241,7 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
     g = static.chunk
     S = static.schunks
     gS = g * S
-    npix = static.tile_size * static.tile_size
+    npix = static.tile_w * static.tile_h
     t = pl.program_id(0)
     off = offs_ref[t]
     cnt = cnts_ref[t]
@@ -315,7 +316,7 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
 
 def _raster_forward(pair_feats, offsets, counts, static: RasterStatics):
     num_tiles = static.tiles_x * static.tiles_y
-    npix = static.tile_size * static.tile_size
+    npix = static.tile_w * static.tile_h
     g = static.chunk * static.schunks
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -363,7 +364,7 @@ def _bwd_kernel(
     g = static.chunk
     S = static.schunks
     gS = g * S
-    npix = static.tile_size * static.tile_size
+    npix = static.tile_w * static.tile_h
     t = pl.program_id(0)
     off = offs_ref[t]
     cnt = cnts_ref[t]
@@ -382,9 +383,8 @@ def _bwd_kernel(
     px, py = _pixel_coords(static, t)
     upper = _tri_matrix(g)
     basis = _moment_basis(static, t)  # (8, P) tile-local moment basis
-    ts = static.tile_size
-    ox = ((t % static.tiles_x) * ts).astype(jnp.float32)
-    oy = ((t // static.tiles_x) * ts).astype(jnp.float32)
+    ox = ((t % static.tiles_x) * static.tile_w).astype(jnp.float32)
+    oy = ((t // static.tiles_x) * static.tile_h).astype(jnp.float32)
     log_eps = np.float32(np.log(max(static.trans_eps, 1e-30)))
 
     cot_t = _transpose_mm(cot_ref[:, :])  # (P, 8)
@@ -558,7 +558,7 @@ def _bwd_kernel(
 
 def _raster_backward(pair_feats, offsets, counts, fwd_out, cot, static: RasterStatics):
     num_tiles = static.tiles_x * static.tiles_y
-    npix = static.tile_size * static.tile_size
+    npix = static.tile_w * static.tile_h
     g = static.chunk
     gS = g * static.schunks
     b_pad = pair_feats.shape[1]
@@ -700,7 +700,7 @@ def render_tiled_pallas(
     config: RenderConfig,
     interpret: bool = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    ts = config.tile_size
+    tw, th = config.tile_width, config.tile_height
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
     num_tiles = tx_n * ty_n
@@ -713,7 +713,8 @@ def render_tiled_pallas(
         interpret = jax.default_backend() != "tpu"
 
     static = RasterStatics(
-        tile_size=ts,
+        tile_w=tw,
+        tile_h=th,
         tiles_x=tx_n,
         tiles_y=ty_n,
         chunk=config.chunk_size,
@@ -753,13 +754,13 @@ def render_tiled_pallas(
         pair_feats, binning.tile_offsets, binning.tile_counts, static
     )  # (T·NROW, P)
 
-    tiles = tiles_flat.reshape(num_tiles, NROW, ts * ts)
+    tiles = tiles_flat.reshape(num_tiles, NROW, tw * th)
     tiles_rgbd = jnp.swapaxes(tiles[:, 0:4, :], 1, 2)  # (T, P, 4)
     t_final_tiles = tiles[:, 4, :]  # (T, P)
 
-    rgbd = tiles_to_image(tiles_rgbd, tx_n, ty_n, width, height, ts)
+    rgbd = tiles_to_image(tiles_rgbd, tx_n, ty_n, width, height, tw, th)
     t_final = tiles_to_image(
-        t_final_tiles[..., None], tx_n, ty_n, width, height, ts
+        t_final_tiles[..., None], tx_n, ty_n, width, height, tw, th
     )[..., 0]
     bg = jnp.asarray(config.background, jnp.float32)
     depth = rgbd[..., 3]

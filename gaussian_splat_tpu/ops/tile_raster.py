@@ -25,12 +25,13 @@ from gaussian_splat_tpu.ops.projection import ProjectedGaussians
 
 
 def tiles_to_image(
-    tiles: jax.Array, tx_n: int, ty_n: int, width: int, height: int, ts: int
+    tiles: jax.Array, tx_n: int, ty_n: int, width: int, height: int,
+    tw: int, th: int,
 ) -> jax.Array:
-    """(T, ts·ts, C) tile-major pixels → (H, W, C) image (cropped)."""
+    """(T, tw·th, C) tile-major pixels → (H, W, C) image (cropped)."""
     c = tiles.shape[-1]
-    img = tiles.reshape(ty_n, tx_n, ts, ts, c)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(ty_n * ts, tx_n * ts, c)
+    img = tiles.reshape(ty_n, tx_n, th, tw, c)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(ty_n * th, tx_n * tw, c)
     return img[:height, :width]
 
 
@@ -46,19 +47,19 @@ def composite_pairs(
     num_tiles: int,
     config: RenderConfig,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Composite the pair list into (T, ts², 3) tile colors and (T, ts²) T_final."""
-    ts = config.tile_size
-    npix = ts * ts
+    """Composite the pair list into (T, tw·th, 3) tile colors and (T, tw·th) T_final."""
+    tw, th = config.tile_width, config.tile_height
+    npix = tw * th
     b = pair_tile.shape[0]
 
     # pixel centers of each pair's tile: (B, npix)
     lane = jnp.arange(npix, dtype=jnp.float32)
-    col = jnp.mod(lane, ts)
-    row = jnp.floor_divide(lane, ts)
+    col = jnp.mod(lane, tw)
+    row = jnp.floor_divide(lane, tw)
     tile_x = (pair_tile % num_tiles_x).astype(jnp.float32)
     tile_y = (pair_tile // num_tiles_x).astype(jnp.float32)
-    px = tile_x[:, None] * ts + col[None, :] + 0.5  # (B, npix)
-    py = tile_y[:, None] * ts + row[None, :] + 0.5
+    px = tile_x[:, None] * tw + col[None, :] + 0.5  # (B, npix)
+    py = tile_y[:, None] * th + row[None, :] + 0.5
 
     dx = px - means2d_p[:, 0:1]
     dy = py - means2d_p[:, 1:2]
@@ -107,7 +108,7 @@ def render_tiled(
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Full tiled render: bin → gather pair features → composite → assemble.
     Returns (image (H,W,3), T_final (H,W), depth (H,W))."""
-    ts = config.tile_size
+    tw, th = config.tile_width, config.tile_height
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
     num_tiles = tx_n * ty_n
@@ -137,10 +138,10 @@ def render_tiled(
         config,
     )
 
-    image = tiles_to_image(tiles_rgb, tx_n, ty_n, width, height, ts)
-    t_final = tiles_to_image(t_final_tiles[..., None], tx_n, ty_n, width, height, ts)[
-        ..., 0
-    ]
+    image = tiles_to_image(tiles_rgb, tx_n, ty_n, width, height, tw, th)
+    t_final = tiles_to_image(
+        t_final_tiles[..., None], tx_n, ty_n, width, height, tw, th
+    )[..., 0]
     bg = jnp.asarray(config.background, jnp.float32)
     depth = image[..., 3]
     image = image[..., :3] + t_final[..., None] * bg

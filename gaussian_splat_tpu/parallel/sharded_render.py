@@ -46,7 +46,7 @@ def _band_geometry(config: RenderConfig, height: int, ndev: int) -> Tuple[int, i
     """(tile_rows_per_device, padded_height)."""
     ty_n = config.tiles_y(height)
     rows_per_dev = -(-ty_n // ndev)
-    return rows_per_dev, rows_per_dev * ndev * config.tile_size
+    return rows_per_dev, rows_per_dev * ndev * config.tile_height
 
 
 def render_sharded(
@@ -64,8 +64,7 @@ def render_sharded(
     ndev = mesh.shape[axis_name]
     width, height = camera.width, camera.height
     rows_per_dev, padded_h = _band_geometry(config, height, ndev)
-    band_h = rows_per_dev * config.tile_size
-    ts = config.tile_size
+    band_h = rows_per_dev * config.tile_height
 
     # per-device pair budget covers only 1/D of the tiles
     local_cfg = dataclasses.replace(

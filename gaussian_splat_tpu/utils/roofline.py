@@ -5,7 +5,7 @@ computes the analytic FLOP / byte counts of the Pallas forward/backward passes
 from the binning statistics, so benchmarks can report achieved vs. attainable
 throughput on the measured hardware.
 
-Model (per 128-gaussian chunk, P = tile_size² pixels):
+Model (per 128-gaussian chunk, P = tile_width·tile_height pixels):
   forward:
     VPU  ~ 22 ops over (P, G)  (falloff, masks, log1p, exp, weights)
     MXU  ~ 2·P·G·G (prefix matmul) + 2·P·G·3 (color matmul) FLOPs
@@ -54,7 +54,8 @@ class KernelCost:
 def forward_cost(
     num_chunks_total: int,
     num_tiles: int,
-    tile_size: int = 16,
+    tile_width: int = 32,
+    tile_height: int = 16,
     chunk: int = 128,
     nfeat: int = 16,
     nrow: int = 8,
@@ -64,7 +65,7 @@ def forward_cost(
     `num_chunks_total` = Σ_tiles ceil(count_t / chunk) — from BinningResult:
     int(jnp.sum((counts + chunk - 1) // chunk)).
     """
-    p = tile_size * tile_size
+    p = tile_width * tile_height
     per_chunk_mxu = 2.0 * p * chunk * chunk + 2.0 * p * chunk * 3
     per_chunk_vpu = 22.0 * p * chunk
     per_chunk_hbm = nfeat * chunk * 4.0
@@ -79,12 +80,13 @@ def forward_cost(
 def backward_cost(
     num_chunks_total: int,
     num_tiles: int,
-    tile_size: int = 16,
+    tile_width: int = 32,
+    tile_height: int = 16,
     chunk: int = 128,
     nfeat: int = 16,
     nrow: int = 8,
 ) -> KernelCost:
-    p = tile_size * tile_size
+    p = tile_width * tile_height
     # fwd recompute + v/incl/drgb matmuls (3 extra P·G·G-class contractions)
     per_chunk_mxu = 2.0 * p * chunk * chunk * 2 + 2.0 * p * chunk * 3 * 2
     per_chunk_vpu = 45.0 * p * chunk

@@ -77,7 +77,7 @@ def main():
     pair_rows = jnp.where(valid_p[:, None], pair_rows, 0.0)
     pair_feats = jnp.asarray(pair_rows.T)
     static = pr.RasterStatics(
-        tile_size=config.tile_size, tiles_x=config.tiles_x(W), tiles_y=config.tiles_y(H),
+        tile_w=config.tile_width, tile_h=config.tile_height, tiles_x=config.tiles_x(W), tiles_y=config.tiles_y(H),
         chunk=config.chunk_size, alpha_clamp=config.alpha_clamp, alpha_skip=config.alpha_skip,
         sigma_cutoff=config.sigma_cutoff, trans_eps=config.transmittance_eps, interpret=False,
         schunks=config.dma_chunks,

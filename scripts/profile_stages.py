@@ -116,7 +116,6 @@ def main():
         return jax.lax.sort((k, gauss), dimension=0, is_stable=True, num_keys=2)
 
     # build flat keys the way bin_gaussians does
-    ts_ = config.tile_size
     tx_n = config.tiles_x(W)
     area = w_r * h_r
     k_small = config.small_tiles_per_gaussian
@@ -173,7 +172,7 @@ def main():
     pair_rows = jnp.where(valid_p[:, None], pair_rows, 0.0)
     pair_feats = pair_rows.T
     static = pr.RasterStatics(
-        tile_size=config.tile_size, tiles_x=config.tiles_x(W), tiles_y=config.tiles_y(H),
+        tile_w=config.tile_width, tile_h=config.tile_height, tiles_x=config.tiles_x(W), tiles_y=config.tiles_y(H),
         chunk=config.chunk_size, alpha_clamp=config.alpha_clamp, alpha_skip=config.alpha_skip,
         sigma_cutoff=config.sigma_cutoff, trans_eps=config.transmittance_eps, interpret=False,
         schunks=config.dma_chunks,

@@ -32,7 +32,7 @@ def test_rect_contains_extent():
     tx0, ty0, w, h, _ = tile_rects(
         proj.means2d, proj.radii, proj.valid, cam.width, cam.height, CFG
     )
-    ts = CFG.tile_size
+    tw, th = CFG.tile_width, CFG.tile_height
     mx = np.asarray(proj.means2d[:, 0])
     my = np.asarray(proj.means2d[:, 1])
     r = np.asarray(proj.radii, float)
@@ -43,7 +43,7 @@ def test_rect_contains_extent():
         x_lo = max(int(np.ceil(mx[i] - r[i] - 0.5)), 0)
         x_hi = min(int(np.floor(mx[i] + r[i] - 0.5)), cam.width - 1)
         if x_lo <= x_hi and w[i] > 0:
-            assert tx0[i] * ts <= x_lo and (tx0[i] + w[i]) * ts > x_hi
+            assert tx0[i] * tw <= x_lo and (tx0[i] + w[i]) * tw > x_hi
     assert (w[~valid] == 0).all()
 
 
@@ -84,7 +84,6 @@ def test_pairs_match_bruteforce_overlap():
     res = bin_gaussians(proj, cam.width, cam.height, CFG)
     num_tiles = CFG.num_tiles(cam.width, cam.height)
     tx_n = CFG.tiles_x(cam.width)
-    ts = CFG.tile_size
 
     # brute-force: gaussian g overlaps tile t iff t is inside g's effective
     # (two-tier) rect
@@ -181,7 +180,7 @@ def test_shrink_to_cap_never_exceeds_cap():
     for cap in (4, 16, 64):
         _, _, w_c, h_c, _ = _shrink_to_cap(
             jnp.asarray(tx0), jnp.asarray(ty0), jnp.asarray(w), jnp.asarray(h),
-            cap, jnp.asarray(mx), jnp.asarray(my), 16, 1000, 1000,
+            cap, jnp.asarray(mx), jnp.asarray(my), 16, 16, 1000, 1000,
         )
         area = np.asarray(w_c) * np.asarray(h_c)
         assert area.max() <= cap, (cap, area.max())
