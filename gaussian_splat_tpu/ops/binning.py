@@ -290,7 +290,7 @@ def bin_gaussians(
     # kernels DMA chunk·dma_chunks-wide supersets whose last transfer may
     # reach up to (dma_chunks−1)·chunk past the rounded-up segment end
     chunk = config.chunk_size
-    pad = (-budget) % chunk + chunk * config.dma_chunks
+    pad = (-budget) % chunk + chunk * max(config.dma_chunks, 2)
     if pad:
         sorted_keys = jnp.concatenate(
             [sorted_keys, jnp.full((pad,), num_tiles, jnp.int32)]

@@ -620,70 +620,176 @@ _raster.defvjp(_raster_fwd, _raster_bwd)
 # ---------------------------------------------------------------------------
 # Pair gather with a sort-based VJP
 # ---------------------------------------------------------------------------
-# The autodiff transpose of a 9M-row gather is a scatter-add, which serializes
-# on TPU (measured 945 ms at 1M splats / 1080p). Re-sorting the cotangents by
-# gaussian index and segment-summing via cumsum + boundary differences is
-# regular-access and 2.4× faster (388 ms), at ~3e-5 relative error from the
-# long f32 prefix sums — far below the rasterizer's gradient tolerances.
+# The autodiff transpose of a B-row gather is a scatter-add, which serializes
+# on TPU (measured 945 ms at 1M splats / 1080p, round 1). The VJP instead
+# carries the 10 gradient columns THROUGH one multi-operand sort keyed by
+# depth rank (payload-through-sort beats sort-then-permute-gather: 68 vs
+# 145 ms at 6M pairs on v5e), then reduces each rank's contiguous run with a
+# Pallas one-hot-matmul segment-sum kernel (~5 ms, replacing a 55 ms XLA
+# cumsum + boundary gather).
 
 
 NCOLS_LIVE = 10  # only [mx,my,A,B,C,r,g,b,depth,op] carry gradients; the 6 pad
-#   columns are structurally zero, so the VJP reduction skips them
+#   rows are structurally zero, so the VJP reduction skips them
+
+SEG_GR = 512  # output ranks per segment-sum program (lane width of the block)
+SEG_GC = 256  # pairs per segment-sum chunk — matches the pair array's extra
+#   chunk_size·dma_chunks padding so aligned superset reads stay in bounds
+SEG_NBUF = 4
 
 
-@jax.custom_vjp
-def gather_pairs(feats_rows, order, ranks_keyed, rank_starts):
-    """Per-pair feature gather with a sort-based segment-sum VJP.
+def _segsum_kernel(bstarts_ref, data_hbm, ranks_hbm, out_ref, dbuf, rbuf, sem, rsem):
+    """Segment-sum of rank-sorted rows: out[:, r] = Σ_{ranks==r} data[:, i].
 
-    feats_rows: (N, F) per-gaussian features (original index order)
+    One program per SEG_GR-rank output block; streams the block's pair range
+    in aligned superset chunks and accumulates via a one-hot matmul
+    (ranks == block-row) — rows from neighboring blocks simply never match,
+    so shared boundary chunks need no masks and no RMW."""
+    r = pl.program_id(0)
+    s_lo = bstarts_ref[r]
+    s_hi = bstarts_ref[r + 1]
+    base = pl.multiple_of((s_lo // SEG_GC) * SEG_GC, SEG_GC)
+    nchunks = jnp.where(s_hi > s_lo, pl.cdiv(s_hi - base, SEG_GC), 0)
+
+    rank0 = r * SEG_GR
+    rows = jax.lax.broadcasted_iota(jnp.int32, (SEG_GR, 1), 0) + rank0
+
+    out_ref[:, :] = jnp.zeros((NFEAT, SEG_GR), jnp.float32)
+
+    def dma_d(slot, i):
+        start = pl.multiple_of(base + i * SEG_GC, SEG_GC)
+        return pltpu.make_async_copy(
+            data_hbm.at[:, pl.ds(start, SEG_GC)], dbuf.at[slot], sem.at[slot]
+        )
+
+    def dma_r(slot, i):
+        start = pl.multiple_of(base + i * SEG_GC, SEG_GC)
+        return pltpu.make_async_copy(
+            ranks_hbm.at[:, pl.ds(start, SEG_GC)], rbuf.at[slot], rsem.at[slot]
+        )
+
+    for w in range(SEG_NBUF - 1):
+
+        @pl.when(nchunks > w)
+        def _(w=w):
+            dma_d(w, w).start()
+            dma_r(w, w).start()
+
+    def body(i, _):
+        slot = jax.lax.rem(i, SEG_NBUF)
+
+        @pl.when(i + SEG_NBUF - 1 < nchunks)
+        def _():
+            nslot = jax.lax.rem(i + SEG_NBUF - 1, SEG_NBUF)
+            dma_d(nslot, i + SEG_NBUF - 1).start()
+            dma_r(nslot, i + SEG_NBUF - 1).start()
+
+        dma_d(slot, i).wait()
+        dma_r(slot, i).wait()
+
+        onehot = (rbuf[slot][0:1, :] == rows).astype(jnp.float32)  # (GR, GC)
+        # (NCOLS, GC) @ (GC, GR) — one-hot RHS is bf16-exact, data splits x2
+        out_ref[:, :] = out_ref[:, :] + _mm_x2(
+            dbuf[slot], onehot, ((1,), (1,))
+        )
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+
+
+def _segment_sum_by_rank(data, ranks_sorted, rank_starts, n, interpret):
+    """data: (NCOLS_LIVE, B) rank-sorted gradient rows; ranks_sorted: (B,);
+    rank_starts: (N+1,) per-rank pair boundaries. Returns (NCOLS_LIVE, N)."""
+    b = data.shape[1]
+    n_pad = -(-n // SEG_GR) * SEG_GR
+    nblocks = n_pad // SEG_GR
+    # per-block pair ranges from the exact rank boundaries (SMEM-small)
+    idx = jnp.minimum(
+        jnp.arange(nblocks + 1, dtype=jnp.int32) * SEG_GR, n
+    )
+    bstarts = jnp.take(rank_starts, idx)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(
+            (NFEAT, SEG_GR), lambda r, *_: (0, r), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((SEG_NBUF, NFEAT, SEG_GC), jnp.float32),
+            pltpu.VMEM((SEG_NBUF, 1, SEG_GC), jnp.int32),
+            pltpu.SemaphoreType.DMA((SEG_NBUF,)),
+            pltpu.SemaphoreType.DMA((SEG_NBUF,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _segsum_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((NFEAT, n_pad), jnp.float32),
+        interpret=interpret,
+    )(bstarts, data, ranks_sorted.reshape(1, b))
+    return out[:NCOLS_LIVE, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_pairs_t(feats10, order, ranks_keyed, rank_starts, interpret=False):
+    """Feature-major per-pair gather: (N, 10) per-gaussian features →
+    (NFEAT, B) pair features, padding rows already zeroed.
+
+    feats10: (N, 10) [mx,my,A,B,C,r,g,b,depth,op] in original index order
     order: (N,) depth argsort (rank → original index)
     ranks_keyed: (B,) depth rank per pair, == N on invalid/padding rows
     rank_starts: (N+1,) exact per-rank pair boundaries from binning
 
-    Returns (B, F). The backward re-sorts cotangents by rank and segment-sums
-    with cumsum + the FREE boundaries (rank-deterministic overflow makes them
-    exact) — a binary-search `searchsorted` here cost 514 ms at 1M/1080p and
-    even the sort-based lowering 125 ms; rank_starts eliminates it entirely.
-    """
-    n = feats_rows.shape[0]
-    src = jnp.take(order, ranks_keyed.clip(0, n - 1))
-    return jnp.take(feats_rows, src, axis=0)
+    Padding rows gather a guaranteed-zero table row (index N), which both
+    zeroes them for free (no separate where pass) and keeps them inert in
+    the backward (their cotangents sort past rank_starts[N])."""
+    n = feats10.shape[0]
+    table = jnp.concatenate([feats10, jnp.zeros((1, 10), feats10.dtype)], axis=0)
+    src = jnp.where(
+        ranks_keyed < n, jnp.take(order, jnp.minimum(ranks_keyed, n - 1)), n
+    )
+    rows = jnp.take(table, src, axis=0)  # (B, 10)
+    b = rows.shape[0]
+    return jnp.concatenate(
+        [rows.T, jnp.zeros((NFEAT - 10, b), feats10.dtype)], axis=0
+    )
 
 
-def _gather_pairs_fwd(feats_rows, order, ranks_keyed, rank_starts):
-    out = gather_pairs(feats_rows, order, ranks_keyed, rank_starts)
-    return out, (order, ranks_keyed, rank_starts, feats_rows.shape[0])
+def _gather_pairs_t_fwd(feats10, order, ranks_keyed, rank_starts, interpret):
+    out = gather_pairs_t(feats10, order, ranks_keyed, rank_starts, interpret)
+    return out, (order, ranks_keyed, rank_starts, feats10.shape[0])
 
 
-def _gather_pairs_bwd(res, d_pairs):
+def _gather_pairs_t_bwd(interpret, res, d_pairs):
     order, ranks_keyed, rank_starts, n = res
-    b = ranks_keyed.shape[0]
-    f = d_pairs.shape[1]
-    live = min(NCOLS_LIVE, f)
-    # invalid rows carry the sentinel rank N → sort past rank_starts[-1]
-    _, perm = jax.lax.sort(
-        (ranks_keyed, jnp.arange(b, dtype=jnp.int32)), num_keys=1
-    )
-    ds = jnp.take(d_pairs[:, :live], perm, axis=0)
-    cs = jnp.concatenate(
-        [jnp.zeros((1, live), d_pairs.dtype), jnp.cumsum(ds, axis=0)], axis=0
-    )
-    d_rank = cs[rank_starts[1:]] - cs[rank_starts[:-1]]  # (N, live), rank order
-    # rank order → original order via the inverse permutation (small scatter)
+    # carry the 10 live gradient rows THROUGH one rank-keyed sort (sentinel
+    # rank N puts padding rows past rank_starts[N], outside every segment)
+    ops = (ranks_keyed,) + tuple(d_pairs[j] for j in range(NCOLS_LIVE))
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    # pad to NFEAT rows: Mosaic HBM slices must respect the (8,128) sublane
+    # tiling, so the streamed array keeps a 16-row layout
+    zrow = jnp.zeros_like(sorted_ops[1])
+    data = jnp.stack(
+        list(sorted_ops[1:]) + [zrow] * (NFEAT - NCOLS_LIVE), axis=0
+    )  # (16, B) rank-sorted
+    d_rank = _segment_sum_by_rank(
+        data, sorted_ops[0], rank_starts, n, interpret
+    )  # (10, N)
+    # rank order → original order via the inverse permutation (N-sized)
     inv = (
-        jnp.zeros((n,), jnp.int32)
-        .at[order]
-        .set(jnp.arange(n, dtype=jnp.int32))
+        jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
     )
-    d_live = jnp.take(d_rank, inv, axis=0)
-    d_feats = jnp.concatenate(
-        [d_live, jnp.zeros((n, f - live), d_pairs.dtype)], axis=1
-    )
+    d_feats10 = jnp.take(d_rank.T, inv, axis=0)  # (N, 10)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return d_feats, f0(order), f0(ranks_keyed), f0(rank_starts)
+    return d_feats10, f0(order), f0(ranks_keyed), f0(rank_starts)
 
 
-gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
+gather_pairs_t.defvjp(_gather_pairs_t_fwd, _gather_pairs_t_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -732,23 +838,19 @@ def render_tiled_pallas(
     # pair ranks with a sentinel on padding rows → exact VJP segments
     ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
 
-    feats_rows = jnp.concatenate(
+    feats10 = jnp.concatenate(
         [
             proj.means2d,  # (N, 2)
             proj.conics,  # (N, 3)
             colors,  # (N, 3)
             proj.depths[:, None],  # (N, 1) — composited as a 4th channel
             opacities[:, None],  # (N, 1)
-            jnp.zeros((n, NFEAT - 10), jnp.float32),
         ],
         axis=1,
-    )  # (N, 16)
-    pair_rows = gather_pairs(
-        feats_rows, binning.order, ranks_keyed, binning.rank_starts
-    )  # (B, 16), sort-based VJP with free rank boundaries
-    # padding rows must be inert: zero them (they were gathered from gaussian 0)
-    pair_rows = jnp.where(valid_p[:, None], pair_rows, 0.0)
-    pair_feats = pair_rows.T  # (16, B_pad) — the kernels' feature-major layout
+    )  # (N, 10)
+    pair_feats = gather_pairs_t(
+        feats10, binning.order, ranks_keyed, binning.rank_starts, bool(interpret)
+    )  # (16, B_pad) feature-major, padding rows zeroed, sort+segsum VJP
 
     tiles_flat = _raster(
         pair_feats, binning.tile_offsets, binning.tile_counts, static

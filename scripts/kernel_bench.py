@@ -68,14 +68,11 @@ def main():
     binning = jax.jit(lambda p: bin_gaussians(p, W, H, config))(proj)
     valid_p = binning.pair_tile < num_tiles
     ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
-    feats_rows = jnp.concatenate(
-        [proj.means2d, proj.conics, colors, proj.depths[:, None], opac[:, None],
-         jnp.zeros((n, pr.NFEAT - 10), jnp.float32)], axis=1)
-    pair_rows = jax.jit(
-        lambda fr: pr.gather_pairs(fr, binning.order, ranks_keyed, binning.rank_starts)
-    )(feats_rows)
-    pair_rows = jnp.where(valid_p[:, None], pair_rows, 0.0)
-    pair_feats = jnp.asarray(pair_rows.T)
+    feats10 = jnp.concatenate(
+        [proj.means2d, proj.conics, colors, proj.depths[:, None], opac[:, None]], axis=1)
+    pair_feats = jax.jit(
+        lambda fr: pr.gather_pairs_t(fr, binning.order, ranks_keyed, binning.rank_starts, False)
+    )(feats10)
     static = pr.RasterStatics(
         tile_w=config.tile_width, tile_h=config.tile_height, tiles_x=config.tiles_x(W), tiles_y=config.tiles_y(H),
         chunk=config.chunk_size, alpha_clamp=config.alpha_clamp, alpha_skip=config.alpha_skip,

@@ -156,21 +156,18 @@ def main():
     valid_p = binning.pair_tile < num_tiles
     ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
     feats_rows = jnp.concatenate(
-        [proj.means2d, proj.conics, colors, proj.depths[:, None], opac[:, None],
-         jnp.zeros((n, pr.NFEAT - 10), jnp.float32)], axis=1)
+        [proj.means2d, proj.conics, colors, proj.depths[:, None], opac[:, None]], axis=1)
 
     def f_gather(fr, jiggle):
         fri = fr + 1e-6 * jiggle
-        return pr.gather_pairs(fri, binning.order, ranks_keyed, binning.rank_starts)
+        return pr.gather_pairs_t(fri, binning.order, ranks_keyed, binning.rank_starts, False)
 
     out["pair_gather_fwd"] = timed(f_gather, feats_rows, reps=args.reps); print("STAGE", "pair_gather_fwd", round(out["pair_gather_fwd"],2), flush=True)
 
     # 4. raster fwd kernel alone
-    pair_rows = jax.jit(
-        lambda fr: pr.gather_pairs(fr, binning.order, ranks_keyed, binning.rank_starts)
+    pair_feats = jax.jit(
+        lambda fr: pr.gather_pairs_t(fr, binning.order, ranks_keyed, binning.rank_starts, False)
     )(feats_rows)
-    pair_rows = jnp.where(valid_p[:, None], pair_rows, 0.0)
-    pair_feats = pair_rows.T
     static = pr.RasterStatics(
         tile_w=config.tile_width, tile_h=config.tile_height, tiles_x=config.tiles_x(W), tiles_y=config.tiles_y(H),
         chunk=config.chunk_size, alpha_clamp=config.alpha_clamp, alpha_skip=config.alpha_skip,
@@ -197,12 +194,12 @@ def main():
     out["raster_bwd_kernel"] = timed(f_raster_bwd, pair_feats, reps=args.reps); print("STAGE", "raster_bwd_kernel", round(out["raster_bwd_kernel"],2), flush=True)
 
     # 6. gather VJP alone
-    d_pairs = jnp.ones((binning.pair_tile.shape[0], pr.NFEAT), jnp.float32)
+    d_pairs = jnp.ones((pr.NFEAT, binning.pair_tile.shape[0]), jnp.float32)
 
     def f_gather_vjp(dp, jiggle):
         dpi = dp + 1e-9 * jiggle
         res = (binning.order, ranks_keyed, binning.rank_starts, n)
-        return pr._gather_pairs_bwd(res, dpi)[0]
+        return pr._gather_pairs_t_bwd(False, res, dpi)[0]
 
     out["gather_vjp"] = timed(f_gather_vjp, d_pairs, reps=args.reps); print("STAGE", "gather_vjp", round(out["gather_vjp"],2), flush=True)
 
