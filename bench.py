@@ -85,6 +85,113 @@ def main():
     fwd_ms = median_ms(fwd, model, args.iters)
     fwdbwd_ms = None if args.fwd_only else median_ms(bwd, model, args.iters)
 
+    # --- raster-kernel roofline (north star: ≥95% of attainable) ------------
+    roofline = {}
+    if jax.default_backend() == "tpu" and not args.fwd_only:
+        from gaussian_splat_tpu.ops import pallas_raster as pr
+        from gaussian_splat_tpu.ops.binning import bin_gaussians
+        from gaussian_splat_tpu.ops.render import (
+            _effective_opacities,
+            _project_and_shade,
+        )
+        from gaussian_splat_tpu.utils import roofline as rl
+
+        W, H = args.width, args.height
+        num_tiles = config.num_tiles(W, H)
+        proj, colors = jax.jit(lambda m: _project_and_shade(m, camera, config))(model)
+        opac = jax.jit(lambda m: _effective_opacities(m, proj, config))(model)
+        binning = jax.jit(lambda p: bin_gaussians(p, W, H, config))(proj)
+        valid_p = binning.pair_tile < num_tiles
+        ranks_keyed = jnp.where(valid_p, binning.pair_gauss, args.n)
+        feats10 = jnp.concatenate(
+            [proj.means2d, proj.conics, colors, proj.depths[:, None], opac[:, None]],
+            axis=1,
+        )
+        pair_feats = jax.jit(
+            lambda fr: pr.gather_pairs_t(
+                fr, binning.order, ranks_keyed, binning.rank_starts, False
+            )
+        )(feats10)
+        static = pr.RasterStatics(
+            tile_w=config.tile_width, tile_h=config.tile_height,
+            tiles_x=config.tiles_x(W), tiles_y=config.tiles_y(H),
+            chunk=config.chunk_size, alpha_clamp=config.alpha_clamp,
+            alpha_skip=config.alpha_skip, sigma_cutoff=config.sigma_cutoff,
+            trans_eps=config.transmittance_eps, interpret=False,
+            schunks=config.dma_chunks,
+        )
+        jax.block_until_ready(pair_feats)
+        g = config.chunk_size
+        cnts = jax.device_get(binning.tile_counts)
+        offs = jax.device_get(binning.tile_offsets)
+        base = (offs // g) * g
+        nchunks = int(
+            (( (offs + cnts - base) + g - 1) // g * (cnts > 0)).sum()
+        )
+
+        @jax.jit
+        def run_fwd(pf, offsets, counts):
+            def step(carry, i):
+                o = pr._raster(pf + 1e-9 * i, offsets, counts, static)
+                return carry + jnp.sum(o[:1, :1]), None
+
+            tot, _ = jax.lax.scan(step, 0.0, jnp.arange(reps, dtype=jnp.float32))
+            return tot
+
+        fwd_out = jax.jit(
+            lambda pf, o, c: pr._raster_forward(pf, o, c, static)
+        )(pair_feats, binning.tile_offsets, binning.tile_counts)
+        cot = jnp.ones_like(fwd_out)
+        jax.block_until_ready(fwd_out)
+
+        @jax.jit
+        def run_bwd(pf, offsets, counts, fo, ct):
+            def step(carry, i):
+                o = pr._raster_backward(
+                    pf + 1e-9 * i, offsets, counts, fo, ct, static
+                )
+                return carry + jnp.sum(o[:1, :1]), None
+
+            tot, _ = jax.lax.scan(step, 0.0, jnp.arange(reps, dtype=jnp.float32))
+            return tot
+
+        def median_ms_multi(fn, fargs, iters):
+            jax.block_until_ready(fn(*fargs))
+            jax.block_until_ready(fn(*fargs))
+            ts = []
+            for _ in range(iters):
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*fargs))
+                ts.append((time.perf_counter() - t0) * 1e3 / reps)
+            ts.sort()
+            return ts[len(ts) // 2]
+
+        kf_ms = median_ms_multi(
+            run_fwd,
+            (pair_feats, binning.tile_offsets, binning.tile_counts),
+            max(args.iters - 2, 3),
+        )
+        kb_ms = median_ms_multi(
+            run_bwd,
+            (pair_feats, binning.tile_offsets, binning.tile_counts, fwd_out, cot),
+            max(args.iters - 2, 3),
+        )
+        cf = rl.forward_cost(nchunks, num_tiles, config.tile_width,
+                             config.tile_height, g)
+        cb = rl.backward_cost(nchunks, num_tiles, config.tile_width,
+                              config.tile_height, g)
+        roofline = {
+            "raster_fwd_ms": round(kf_ms, 3),
+            "raster_fwd_attainable_ms": round(cf.attainable_ms(), 3),
+            "raster_fwd_roofline_pct": round(100 * cf.attainable_ms() / kf_ms, 1),
+            "raster_fwd_limiter": cf.limiter(),
+            "raster_bwd_ms": round(kb_ms, 3),
+            "raster_bwd_attainable_ms": round(cb.attainable_ms(), 3),
+            "raster_bwd_roofline_pct": round(100 * cb.attainable_ms() / kb_ms, 1),
+            "num_pairs": int(jax.device_get(binning.num_pairs)),
+            "overflow": int(jax.device_get(binning.overflow)),
+        }
+
     pixels = args.width * args.height
     pixels_per_s = pixels / (fwd_ms / 1e3)
     baseline_pixels_per_s = 1920 * 1080 * 60.0  # reference 60 FPS design point
@@ -100,6 +207,7 @@ def main():
         "fwd_pixels_per_s": round(pixels_per_s),
         "backend": config.backend,
         "device": str(jax.devices()[0]),
+        **roofline,
     }
     print(json.dumps(result))
 

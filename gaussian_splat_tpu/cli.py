@@ -25,7 +25,7 @@ def _add_render_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tile-height", type=int, default=16)
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--background", type=float, nargs=3, default=[0.0, 0.0, 0.0])
-    p.add_argument("--pairs-per-gaussian", type=float, default=6.0)
+    p.add_argument("--pairs-per-gaussian", type=float, default=4.5)
     p.add_argument("--antialiased", action="store_true",
                    help="gsplat antialiased mode (opacity compensation)")
     p.add_argument("--aabb-clip", type=float, default=None,
