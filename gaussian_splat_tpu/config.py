@@ -95,6 +95,24 @@ class RenderConfig:
     # Backend ----------------------------------------------------------------
     backend: str = "auto"  # "auto" | "pallas" | "jnp_tile" | "reference"
 
+    # Sharding (parallel/sharded_render.py) -----------------------------------
+    shard_exchange: str = "all_gather"  # how projected features reach the
+    #   tile-owning chips: "all_gather" (dense, 12 floats/splat — best ≤8
+    #   devices, and each chip then bins only the splats intersecting its
+    #   band) or "all_to_all" (the north-star sparse exchange: each chip sends
+    #   only the splats whose rect hits the destination band — traffic and
+    #   per-chip memory stay O(N/D) as the mesh grows)
+    shard_capacity_factor: float = 2.0  # all_gather path: each chip bins at
+    #   most N·factor/D splats (the in-band compaction cap). 1.0 = perfectly
+    #   uniform bands; 2.0 tolerates a 2× load imbalance before dropping
+    #   (drops are counted in stats.dropped_gaussians)
+    a2a_capacity_factor: float = 4.0  # all_to_all path: per (source, dest)
+    #   send-buffer capacity = N/D² · factor; overflow is counted per source
+    shard_capacity_floor: int = 4096  # minimum capacity regardless of factor:
+    #   small scenes (where band-splat incidence ≫ N/D, e.g. single-tile-row
+    #   bands) stay exact at negligible cost; at production N the factor term
+    #   dominates. Tests lower this to exercise the overflow accounting.
+
     @property
     def sigma_cutoff(self) -> float:
         """Falloff-argument cutoff: σ(d) = 0.5·dᵀΣ⁻¹d > 0.5·extent² ⇒ no contribution."""
@@ -137,11 +155,20 @@ class TrainConfig:
     """Training-loop configuration (north-star config 5)."""
 
     lr_means: float = 1.6e-4
+    lr_means_final: float = 1.6e-6  # 3DGS position-lr exponential decay target
+    lr_decay_steps: Optional[int] = None  # decay horizon (defaults to the 3DGS
+    #   30 000-iteration convention, independent of num_steps)
     lr_quats: float = 1e-3
     lr_scales: float = 5e-3
     lr_opacities: float = 5e-2
     lr_sh: float = 2.5e-3
+    sh_warmup_every: int = 0  # 3DGS SH warmup: raise the active SH degree by 1
+    #   every K steps (coefficients of inactive bands are zeroed inside the
+    #   jitted step — degree stays trace-static, so no recompilation). 0 = off.
     ssim_weight: float = 0.2  # loss = (1-w)*L1 + w*(1-SSIM), 3DGS convention
     num_steps: int = 1000
+    steps_per_dispatch: int = 1  # lax.scan'd train steps per jitted dispatch:
+    #   amortizes the per-dispatch host↔device floor (~30 ms on the dev
+    #   tunnel) and lets XLA keep model/opt state on-device between steps
     checkpoint_every: int = 500
     checkpoint_dir: Optional[str] = None

@@ -48,6 +48,29 @@ class BinningResult(NamedTuple):
     #   pair counts: pairs of depth-rank r number rank_starts[r+1]−rank_starts[r].
     #   Exact by construction (overflow drops whole farthest gaussians), which
     #   gives the gather-VJP its segment boundaries for free.
+    dropped_gaussians: jax.Array = None  # () int32 valid gaussians beyond the
+    #   `max_active` compaction cap (sharded path: in-band splats a chip had to
+    #   drop because its band capacity overflowed; 0 when max_active is None)
+
+
+class BinningStats(NamedTuple):
+    """Scalar telemetry extracted from a BinningResult — shaped for shard_map
+    outputs (each chip contributes one row of per-band load/overflow stats)."""
+
+    num_pairs: jax.Array  # () int32 valid pairs before budget truncation
+    overflow: jax.Array  # () int32 pairs dropped by the pair budget
+    clamped_rects: jax.Array  # () int32 shrunk tile rects
+    dropped_gaussians: jax.Array  # () int32 splats dropped by max_active
+
+    @classmethod
+    def of(cls, b: "BinningResult") -> "BinningStats":
+        zero = jnp.int32(0)
+        return cls(
+            num_pairs=b.num_pairs,
+            overflow=b.overflow,
+            clamped_rects=b.clamped_rects,
+            dropped_gaussians=zero if b.dropped_gaussians is None else b.dropped_gaussians,
+        )
 
 
 def tile_rects(
@@ -125,16 +148,19 @@ def effective_rects(
     width: int,
     height: int,
     config: RenderConfig,
+    n_active: int = None,
 ):
     """Two-tier per-gaussian rects as used by `bin_gaussians`:
     the `n // big_gaussian_fraction + 1` largest-area gaussians keep up to
     `max_tiles_per_gaussian` tiles; everyone else is shrunk to
-    `small_tiles_per_gaussian`.
+    `small_tiles_per_gaussian`. `n_active` sizes the big tier when only a
+    prefix of the rows can emit pairs (sharded compaction).
     Returns (tx0, ty0, w, h, is_big, big_idx, clamped_count)."""
     tw, th = config.tile_width, config.tile_height
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
     n = means2d.shape[0]
+    n_eff = n if n_active is None else min(n_active, n)
     mx, my = means2d[:, 0], means2d[:, 1]
 
     tx0, ty0, w, h, clamped_big = tile_rects(
@@ -144,7 +170,7 @@ def effective_rects(
 
     # floor of 64 big slots: small scenes get the full-size tier everywhere
     # (the fraction only matters once N is large enough for the sort to hurt)
-    m_big = min(n, max(n // config.big_gaussian_fraction + 1, 64))
+    m_big = min(n_eff, max(n_eff // config.big_gaussian_fraction + 1, 64))
     _, big_idx = jax.lax.top_k(area, m_big)
     is_big = jnp.zeros((n,), bool).at[big_idx].set(True)
 
@@ -171,14 +197,23 @@ def bin_gaussians(
     width: int,
     height: int,
     config: RenderConfig,
+    max_active: int = None,
 ) -> BinningResult:
-    """Full binning pass. All shapes static; jit-safe."""
+    """Full binning pass. All shapes static; jit-safe.
+
+    `max_active` (static) caps how many depth-sorted gaussians may emit pairs:
+    the sharded path marks out-of-band splats invalid and passes its band
+    capacity here, so the padded expansion — and the dominant pair sort — runs
+    over M rows instead of N (per-chip sort ≈ 1/D of the single-chip one).
+    Valid gaussians beyond the cap are counted in `dropped_gaussians`.
+    """
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
     num_tiles = tx_n * ty_n
     n = proj.means2d.shape[0]
+    m = n if max_active is None else min(max_active, n)
     K = config.max_tiles_per_gaussian
-    budget = config.pair_budget(n)
+    budget = config.pair_budget(m)
 
     # --- 1. depth sort (near → far); culled splats sort last ----------------
     depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
@@ -186,6 +221,13 @@ def bin_gaussians(
     means2d = proj.means2d[order]
     radii = proj.radii[order]
     valid = proj.valid[order]
+
+    if m < n:
+        in_cap = jnp.arange(n, dtype=jnp.int32) < m
+        dropped = jnp.sum((valid & ~in_cap).astype(jnp.int32))
+        valid = valid & in_cap
+    else:
+        dropped = jnp.int32(0)
 
     # --- 2. two-tier tile rects ---------------------------------------------
     # Sorting dominates binning, and its size is the PADDED expansion. A flat
@@ -195,7 +237,7 @@ def bin_gaussians(
     # full K_big block, everyone else a K_small block — at 1M splats the sort
     # drops from 64M to ~18M entries.
     tx0, ty0, w, h, is_big, big_idx, clamped = effective_rects(
-        means2d, radii, valid, width, height, config
+        means2d, radii, valid, width, height, config, n_active=m
     )
     area = w * h
     k_small = config.small_tiles_per_gaussian
@@ -207,7 +249,7 @@ def bin_gaussians(
     # splats vanish, instead of arbitrary per-tile-tail fragments), and
     # (b) makes per-rank pair counts exact, so `rank_starts` hands the
     # gather-VJP its segment boundaries without a 125 ms searchsorted.
-    budget = min(budget, n * k_small + m_big * K)
+    budget = min(budget, m * k_small + m_big * K)
     starts_all = jnp.cumsum(area) - area  # exclusive prefix
     fits = starts_all + area <= budget
     eff_area = jnp.where(fits, area, 0)
@@ -237,7 +279,7 @@ def bin_gaussians(
     # so N ≤ 2²⁰ fits; larger products fall back to the 2-key stable sort
     # (the two expansion blocks concatenate out of depth order, so the sort
     # needs the rank — `gauss` indices ARE depth ranks here).
-    rank_bits = max((n - 1).bit_length(), 1)
+    rank_bits = max((m - 1).bit_length(), 1)
     tile_bits = max(num_tiles.bit_length(), 1)
     use_packed = rank_bits + tile_bits <= 32
 
@@ -258,9 +300,12 @@ def bin_gaussians(
         gauss = jnp.broadcast_to(gausse[:, None], keys.shape)
         return keys.reshape(-1), gauss.reshape(-1)
 
+    # rows ≥ m are invalid (zero area) by construction, so the small-tier
+    # expansion — the sort's bulk — covers only the first m depth ranks
     area_small = jnp.where(is_big, 0, eff_area)
     keys_s, gauss_s = expand(
-        tx0, ty0, w, area_small, jnp.arange(n, dtype=jnp.int32), k_small
+        tx0[:m], ty0[:m], w[:m], area_small[:m],
+        jnp.arange(m, dtype=jnp.int32), k_small,
     )
     keys_b, gauss_b = expand(
         tx0[big_idx], ty0[big_idx], w[big_idx], big_vals, big_idx, K
@@ -321,4 +366,5 @@ def bin_gaussians(
         overflow=overflow,
         clamped_rects=clamped,
         rank_starts=rank_starts,
+        dropped_gaussians=dropped,
     )

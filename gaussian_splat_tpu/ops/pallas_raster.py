@@ -805,7 +805,9 @@ def render_tiled_pallas(
     height: int,
     config: RenderConfig,
     interpret: bool = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    max_active: int = None,
+    return_stats: bool = False,
+) -> Tuple[jax.Array, ...]:
     tw, th = config.tile_width, config.tile_height
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
@@ -832,7 +834,7 @@ def render_tiled_pallas(
         schunks=config.dma_chunks,
     )
 
-    binning = bin_gaussians(proj, width, height, config)
+    binning = bin_gaussians(proj, width, height, config, max_active=max_active)
     valid_p = binning.pair_tile < num_tiles
     n = proj.means2d.shape[0]
     # pair ranks with a sentinel on padding rows → exact VJP segments
@@ -867,4 +869,8 @@ def render_tiled_pallas(
     bg = jnp.asarray(config.background, jnp.float32)
     depth = rgbd[..., 3]
     image = rgbd[..., :3] + t_final[..., None] * bg
+    if return_stats:
+        from gaussian_splat_tpu.ops.binning import BinningStats
+
+        return image, t_final, depth, BinningStats.of(binning)
     return image, t_final, depth

@@ -105,15 +105,17 @@ def render_tiled(
     width: int,
     height: int,
     config: RenderConfig,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    max_active: int = None,
+    return_stats: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Full tiled render: bin → gather pair features → composite → assemble.
-    Returns (image (H,W,3), T_final (H,W), depth (H,W))."""
+    Returns (image (H,W,3), T_final (H,W), depth (H,W)[, BinningStats])."""
     tw, th = config.tile_width, config.tile_height
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
     num_tiles = tx_n * ty_n
 
-    binning = bin_gaussians(proj, width, height, config)
+    binning = bin_gaussians(proj, width, height, config, max_active=max_active)
 
     order = binning.order
     g = binning.pair_gauss  # index into depth-sorted arrays
@@ -145,4 +147,8 @@ def render_tiled(
     bg = jnp.asarray(config.background, jnp.float32)
     depth = image[..., 3]
     image = image[..., :3] + t_final[..., None] * bg
+    if return_stats:
+        from gaussian_splat_tpu.ops.binning import BinningStats
+
+        return image, t_final, depth, BinningStats.of(binning)
     return image, t_final, depth

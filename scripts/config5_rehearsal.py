@@ -1,0 +1,115 @@
+"""North-star config-5 dress rehearsal: 3M splats @ 4K over a sharded mesh.
+
+Real multi-host hardware is not available in this environment, so this
+validates the >8-host design on the virtual CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8) at the TARGET SHAPES:
+
+  1. Full-shape sharded binning (3M splats, 3840×2160, sparse all_to_all
+     exchange): per-band pair accounting — every (gaussian, tile) pair lands
+     in exactly one band, so the per-band counts must sum to the single-chip
+     total — plus capacity/overflow telemetry and per-stage wall-clock.
+  2. End-to-end sharded image correctness (exchange + binning + raster +
+     autodiff path) at a memory-feasible resolution (the pure-jnp band raster
+     materializes pairs×pixels, which only the Pallas kernels can do at 4K).
+
+Usage:
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python scripts/config5_rehearsal.py [--n 3000000] [--probe-res 960 540]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+if __name__ == "__main__" and "xla_force_host_platform_device_count" not in os.environ.get(
+    "XLA_FLAGS", ""
+):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    )
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=3_000_000)
+    ap.add_argument("--width", type=int, default=3840)
+    ap.add_argument("--height", type=int, default=2160)
+    ap.add_argument("--probe-res", type=int, nargs=2, default=(960, 540))
+    ap.add_argument("--ndev", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    import gaussian_splat_tpu as gs
+    from gaussian_splat_tpu.ops.binning import bin_gaussians
+    from gaussian_splat_tpu.ops.render import _project_and_shade, render
+    from gaussian_splat_tpu.parallel.mesh import make_mesh, shard_model
+    from gaussian_splat_tpu.parallel.sharded_render import (
+        render_sharded,
+        sharded_binning_stats,
+    )
+
+    ndev = args.ndev
+    mesh = make_mesh(ndev)
+    n = -(-args.n // ndev) * ndev
+
+    model = gs.GaussianModel.random(
+        jax.random.PRNGKey(0), n, sh_degree=1, extent=2.0, scale_range=(0.004, 0.02)
+    )
+    model = shard_model(model, mesh)
+    camera = gs.Camera.from_lookat(
+        (0.0, 0.5, -5.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
+        60.0, args.width, args.height,
+    )
+    cfg = gs.RenderConfig(backend="jnp_tile", shard_exchange="all_to_all")
+
+    report = {"n": n, "resolution": [args.width, args.height], "ndev": ndev}
+
+    # --- 1. full-shape sharded binning + accounting --------------------------
+    t0 = time.perf_counter()
+    stats = jax.jit(
+        lambda m: sharded_binning_stats(m, camera, cfg, mesh)
+    )(model)
+    jax.block_until_ready(stats)
+    t1 = time.perf_counter()
+    band_pairs = np.asarray(jax.device_get(stats.num_pairs))
+
+    # single-chip ground truth for the pair totals
+    proj, _ = _project_and_shade(model, camera, cfg)
+    total = int(bin_gaussians(proj, args.width, args.height, cfg).num_pairs)
+    t2 = time.perf_counter()
+
+    report["sharded_bin_wall_s"] = round(t1 - t0, 2)
+    report["single_chip_bin_wall_s"] = round(t2 - t1, 2)
+    report["per_band_pairs"] = band_pairs.tolist()
+    report["per_band_overflow"] = np.asarray(stats.overflow).tolist()
+    report["dropped_gaussians"] = int(np.sum(np.asarray(stats.dropped_gaussians)))
+    report["pair_sum_matches_single_chip"] = bool(band_pairs.sum() == total)
+    assert band_pairs.sum() == total, (band_pairs.sum(), total)
+    assert report["dropped_gaussians"] == 0, report["dropped_gaussians"]
+
+    # --- 2. end-to-end sharded image probe at reduced res --------------------
+    pw, ph = args.probe_res
+    probe_cam = gs.Camera.from_lookat(
+        (0.0, 0.5, -5.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), 60.0, pw, ph
+    )
+    # probe a subsample so the O(pairs×pixels) jnp raster fits host memory
+    sub = jax.tree_util.tree_map(lambda x: x[: 65536 // ndev * ndev], model)
+    out = render_sharded(sub, probe_cam, cfg, mesh)
+    img_single = render(jax.device_get(sub), probe_cam, cfg).image
+    err = float(jnp.max(jnp.abs(out.image - img_single)))
+    report["probe_res"] = [pw, ph]
+    report["probe_max_abs_err_vs_single_chip"] = err
+    assert err < 1e-4, err
+
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,7 +34,7 @@ model = gs.GaussianModel.random(jax.random.PRNGKey(0), 64, sh_degree=0, extent=0
 cfg = gs.RenderConfig(backend="jnp_tile")
 cam = gs.Camera.from_lookat((0,0,-4),(0,0,0),(0,1,0),60,32,64)
 img_single = gs.render(model, cam, cfg).image
-img_shard, _, _ = render_sharded(shard_model(model, mesh), cam, cfg, mesh)
+img_shard = render_sharded(shard_model(model, mesh), cam, cfg, mesh).image
 # each process holds its shard; compare the addressable rows
 gathered = np.asarray(jax.experimental.multihost_utils.process_allgather(img_shard, tiled=True))
 np.testing.assert_allclose(gathered, np.asarray(img_single), atol=1e-5)
