@@ -65,13 +65,21 @@ def render(
     model: GaussianModel,
     camera: Camera,
     config: RenderConfig = RenderConfig(),
+    screen_offset: Optional[jax.Array] = None,
 ) -> RenderOutput:
-    """Render a scene. Differentiable w.r.t. every GaussianModel leaf."""
+    """Render a scene. Differentiable w.r.t. every GaussianModel leaf.
+
+    `screen_offset` is an optional (N, 2) array added to the projected 2D
+    means. Training passes zeros and differentiates w.r.t. it to obtain the
+    SCREEN-SPACE positional gradient — the 3DGS densification criterion —
+    without a second rendering pass."""
     backend = config.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "jnp_tile"
 
     proj, colors = _project_and_shade(model, camera, config)
+    if screen_offset is not None:
+        proj = proj._replace(means2d=proj.means2d + screen_offset)
     opacities = _effective_opacities(model, proj, config)
 
     if backend == "reference":

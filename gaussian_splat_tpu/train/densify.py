@@ -28,7 +28,9 @@ from gaussian_splat_tpu.models.gaussians import GaussianModel
 
 
 class DensifyState(NamedTuple):
-    grad_score: jax.Array  # (N,) EMA of ‖∂L/∂means‖
+    grad_score: jax.Array  # (N,) EMA of the screen-space positional gradient
+    #   ‖∂L/∂means2d‖ (pixels) — the 3DGS criterion; the trainer obtains it by
+    #   differentiating w.r.t. a zero screen offset (render(screen_offset=...))
     ema_beta: float = 0.9
 
 
@@ -36,9 +38,9 @@ def init_densify_state(n: int) -> DensifyState:
     return DensifyState(grad_score=jnp.zeros((n,)))
 
 
-def update_scores(state: DensifyState, grads_means: jax.Array) -> DensifyState:
-    """Accumulate the positional-gradient EMA (call every train step)."""
-    g = jnp.linalg.norm(grads_means, axis=-1)
+def update_scores(state: DensifyState, grads_means2d: jax.Array) -> DensifyState:
+    """Accumulate the screen-space positional-gradient EMA (every train step)."""
+    g = jnp.linalg.norm(grads_means2d, axis=-1)
     score = state.ema_beta * state.grad_score + (1.0 - state.ema_beta) * g
     return state._replace(grad_score=score)
 

@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     ap.add_argument("--checkpoint-every", type=int, default=500)
     ap.add_argument("--out", default="trained.ply")
     ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--steps-per-dispatch", type=int, default=4,
+                    help="lax.scan'd steps per jitted call (dispatch amortization)")
     args = ap.parse_args(argv)
 
     import jax
@@ -61,26 +63,21 @@ def main(argv=None) -> int:
             lambda x: jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)]),
             model,
         )
-        # padded slots: fully transparent
+        # padded slots must be culled outright, not just invisible: zero-filled
+        # rows (scale=exp(0)=1 at the origin) would pass projection culling and
+        # burn pair budget + big-tier slots every step. Degenerate scales plus
+        # transparent opacity keep them out of the pipeline entirely.
         model = model.replace(
-            opacity_logits=model.opacity_logits.at[n:].set(-20.0)
+            opacity_logits=model.opacity_logits.at[n:].set(-20.0),
+            log_scales=model.log_scales.at[n:].set(-20.0),
         )
     model = shard_model(model, mesh)
 
-    render_cfg = RenderConfig(backend="auto")
-    tc = TrainConfig(num_steps=args.steps)
-
-    if args.transforms:
-        from gaussian_splat_tpu.io.dataset_io import load_transforms
-
-        ds = load_transforms(args.transforms)
-        camera = ds.camera(0)
-        target = ds.target(0)  # single-view demo; extend with fit_multiview
-    else:
-        from gaussian_splat_tpu.camera import orbit_camera
-
-        camera = orbit_camera(5.0, 30.0, 20.0, width=args.width, height=args.height)
-        target = jnp.zeros((args.height, args.width, 3))
+    # ≥2 hosts: default the exchange to the sparse all-to-all (north star);
+    # single host keeps the dense all_gather (cheaper at ≤8 devices)
+    exchange = "all_to_all" if multi else "all_gather"
+    render_cfg = RenderConfig(backend="auto", shard_exchange=exchange)
+    tc = TrainConfig(num_steps=args.steps, steps_per_dispatch=args.steps_per_dispatch)
 
     state = create_train_state(model, tc)
     if args.checkpoint_dir:
@@ -90,12 +87,37 @@ def main(argv=None) -> int:
             if jax.process_index() == 0:
                 print(f"resumed from step {int(state.step)}")
 
-    step_fn = make_train_step(camera, render_cfg, tc, mesh=mesh)
-    for i in range(int(state.step), args.steps):
-        state, loss = step_fn(state, target)
-        if i % args.log_every == 0 and jax.process_index() == 0:
+    K = max(1, tc.steps_per_dispatch)
+    rng = np.random.default_rng(0)  # same stream on every process → same views
+
+    if args.transforms:
+        # real multi-view training: random view per step, each view rendered
+        # sharded over the pod mesh (north-star config 5 end-to-end)
+        from gaussian_splat_tpu.io.dataset_io import load_transforms
+        from gaussian_splat_tpu.train.trainer import make_multiview_train_step
+
+        ds = load_transforms(args.transforms)
+        step_fn = make_multiview_train_step(ds, render_cfg, tc, mesh=mesh)
+
+        def next_arg():
+            v = rng.integers(ds.num_views, size=K).astype(np.int32)
+            return jnp.asarray(v if K > 1 else v[0])
+
+    else:
+        from gaussian_splat_tpu.camera import orbit_camera
+
+        camera = orbit_camera(5.0, 30.0, 20.0, width=args.width, height=args.height)
+        target = jnp.zeros((args.height, args.width, 3))
+        step_fn = make_train_step(camera, render_cfg, tc, mesh=mesh)
+
+        def next_arg():
+            return target
+
+    for i in range(int(state.step), args.steps, K):
+        state, loss = step_fn(state, next_arg())
+        if (i // K) % max(1, args.log_every // K) == 0 and jax.process_index() == 0:
             print(f"step {i}: loss {float(loss):.6f}")
-        if args.checkpoint_dir and (i + 1) % args.checkpoint_every == 0:
+        if args.checkpoint_dir and (i + K) % args.checkpoint_every < K:
             save_checkpoint(args.checkpoint_dir, state)
 
     if jax.process_index() == 0:

@@ -35,7 +35,7 @@ def test_dataset_shapes_and_indexing():
 def test_traced_view_index_no_recompile():
     gt, ds = _gt_and_dataset()
     state = create_train_state(gt, TrainConfig())
-    step = make_multiview_train_step(ds, CFG, TrainConfig())
+    step = make_multiview_train_step(ds, CFG, TrainConfig(), donate=False)
     # different traced view indices reuse one compilation
     s1, l1 = step(state, jnp.int32(0))
     s2, l2 = step(state, jnp.int32(3))

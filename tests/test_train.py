@@ -46,7 +46,7 @@ def test_train_step_reduces_loss():
     )
     tc = TrainConfig(num_steps=30, ssim_weight=0.2)
     state = create_train_state(init, tc)
-    step = make_train_step(cam, cfg, tc)
+    step = make_train_step(cam, cfg, tc, donate=False)
     _, loss0 = step(state, target)
     for _ in range(30):
         state, loss = step(state, target)
@@ -88,3 +88,77 @@ def test_checkpoint_roundtrip(tmp_path):
     leaves_a = jax.tree_util.tree_leaves(restored.opt_state)
     leaves_b = jax.tree_util.tree_leaves(state.opt_state)
     assert len(leaves_a) == len(leaves_b)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: scanned dispatch, lr decay, SH warmup (VERDICT item 7)
+# ---------------------------------------------------------------------------
+
+
+def _fit_scene(seed=0):
+    cam = Camera.from_lookat((0, 0, -4), (0, 0, 0), (0, 1, 0), 60.0, 64, 64)
+    cfg = RenderConfig(backend="jnp_tile")
+    gt = GaussianModel.random(jax.random.PRNGKey(seed), 40, sh_degree=0, extent=0.8)
+    target = render(gt, cam, cfg).image
+    model = GaussianModel.random(jax.random.PRNGKey(seed + 1), 40, sh_degree=0, extent=0.8)
+    return cam, cfg, model, target
+
+
+def test_scanned_dispatch_matches_stepwise():
+    """K scanned steps per dispatch must compute the same optimization
+    trajectory as K single-step dispatches."""
+    cam, cfg, model, target = _fit_scene()
+    tc1 = TrainConfig(num_steps=4, steps_per_dispatch=1, lr_means_final=0.0)
+    tc4 = TrainConfig(num_steps=4, steps_per_dispatch=4, lr_means_final=0.0)
+    m1, _ = fit(model, cam, target, cfg, tc1, log_every=1)
+    m4, _ = fit(model, cam, target, cfg, tc4, log_every=1)
+    for name in ["means", "quats", "log_scales", "opacity_logits", "sh"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(m1, name)),
+            np.asarray(getattr(m4, name)),
+            atol=1e-6,
+            rtol=1e-5,
+            err_msg=name,
+        )
+
+
+def test_means_lr_decay_slows_position_updates():
+    """With an aggressive decay, late position updates must be far smaller
+    than early ones (3DGS exponential means-lr schedule)."""
+    import optax
+    from gaussian_splat_tpu.train.trainer import make_optimizer
+
+    tc = TrainConfig(num_steps=100, lr_means=1e-2, lr_means_final=1e-6,
+                     lr_decay_steps=100)
+    tx = make_optimizer(tc)
+    model = GaussianModel.random(jax.random.PRNGKey(0), 16, sh_degree=0)
+    opt_state = tx.init(model)
+    g = jax.tree_util.tree_map(jnp.ones_like, model)
+    first = None
+    for i in range(100):
+        updates, opt_state = tx.update(g, opt_state, model)
+        if i == 0:
+            first = float(jnp.abs(updates.means).mean())
+    last = float(jnp.abs(updates.means).mean())
+    assert last < first * 1e-2  # 1e-4 lr ratio, Adam-normalized
+    # non-decayed groups hold steady
+    assert float(jnp.abs(updates.sh).mean()) > 0.5 * tc.lr_sh
+
+
+def test_sh_warmup_masks_bands():
+    from gaussian_splat_tpu.train.trainer import apply_sh_warmup
+
+    tc = TrainConfig(sh_warmup_every=10)
+    model = GaussianModel.random(jax.random.PRNGKey(0), 8, sh_degree=3)
+    model = model.replace(sh=jnp.ones_like(model.sh))
+    m0 = apply_sh_warmup(model, jnp.int32(0), tc)  # only band 0 (DC)
+    assert float(m0.sh[:, 0].min()) == 1.0
+    assert float(jnp.abs(m0.sh[:, 1:]).max()) == 0.0
+    m1 = apply_sh_warmup(model, jnp.int32(10), tc)  # bands ≤ 1
+    assert float(m1.sh[:, 1:4].min()) == 1.0
+    assert float(jnp.abs(m1.sh[:, 4:]).max()) == 0.0
+    m3 = apply_sh_warmup(model, jnp.int32(30), tc)  # all 16 coeffs
+    assert float(m3.sh.min()) == 1.0
+    # off by default: identity
+    m_off = apply_sh_warmup(model, jnp.int32(0), TrainConfig())
+    assert float(m_off.sh.min()) == 1.0
