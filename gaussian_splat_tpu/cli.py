@@ -78,7 +78,14 @@ def cmd_view(args) -> int:
     from gaussian_splat_tpu.viewer.viewer import Viewer
 
     model = _load_model(args)
-    viewer = Viewer(model, _render_config(args), width=args.width, height=args.height)
+    viewer = Viewer(
+        model,
+        _render_config(args),
+        width=args.width,
+        height=args.height,
+        show_overlay=not args.no_overlay,
+        hot_reload=args.hot_reload,
+    )
     print(f"serving {model.num_gaussians} splats at http://{args.host}:{args.port}/")
     viewer.serve(host=args.host, port=args.port)
     return 0
@@ -193,6 +200,10 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--width", type=int, default=1280)
     p.add_argument("--height", type=int, default=720)
+    p.add_argument("--no-overlay", action="store_true",
+                   help="disable the grid/axes overlay (toggle live with 'g')")
+    p.add_argument("--hot-reload", action="store_true",
+                   help="poll the Pallas kernel module every frame and hot-swap it")
     _add_render_config_args(p)
     p.set_defaults(fn=cmd_view)
 

@@ -48,24 +48,79 @@ class Viewer:
         config: RenderConfig = RenderConfig(),
         width: int = 1280,
         height: int = 720,  # reference default viewport, main.mm:22-28
+        overlay_objects: Optional[list] = None,  # default: grid + axes, like
+        #   the reference scene (main.mm:61-62: Grid(10, 1.0), Axes(2.0))
+        show_overlay: bool = True,
+        hot_reload: bool = False,  # poll the Pallas kernel module's mtime
+        #   every frame and hot-swap it, keeping the last good build on
+        #   failure (reference: instanced_splat_renderer.mm:285-336, 430-432)
+        background=(0.1, 0.1, 0.15),  # the reference's clear color
+        #   (simple_geometry_renderer.mm:148-149)
     ):
         self.model = model
         self.config = config
         self.width = width
         self.height = height
         self.mode = "color"  # "color" | "depth" | "alpha" debug views
+        self.background = background
         self.trackball = TrackballCamera()
         self.timers = ScopeTimer()
-        self._render_jit = jax.jit(
-            lambda m, cam: render(m, cam, config)[:3]  # (image, alpha, depth)
+
+        from gaussian_splat_tpu.viewer import overlay as _ov
+
+        self._overlay_mod = _ov
+        if overlay_objects is None:
+            overlay_objects = [_ov.grid(10, 1.0), _ov.axes(2.0)]
+        self.overlay_objects = overlay_objects
+        self.show_overlay = show_overlay
+
+        def _build(module=None):
+            # splats are rendered over BLACK so T_final carries the residual
+            # for the overlay/background composite (reference pass order)
+            cfg = config
+            if cfg.background != (0.0, 0.0, 0.0):
+                import dataclasses as _dc
+
+                cfg = _dc.replace(cfg, background=(0.0, 0.0, 0.0))
+            return jax.jit(lambda m, cam: render(m, cam, cfg)[:3])
+
+        self._reloader = None
+        if hot_reload:
+            from gaussian_splat_tpu.utils.hot_reload import HotReloader
+
+            probe_cam = self.trackball.camera(width, height)
+            self._reloader = HotReloader(
+                module_name="gaussian_splat_tpu.ops.pallas_raster",
+                build=lambda module: _build(module),
+                probe_args=(model, probe_cam),
+            )
+            self._render_jit = self._reloader.get()
+        else:
+            self._render_jit = _build()
+        self._overlay_jit = jax.jit(
+            lambda cam: self._overlay_mod.render_overlay(self.overlay_objects, cam)
         )
 
     # -- single frame --------------------------------------------------------
     def render_frame(self, camera: Optional[Camera] = None) -> np.ndarray:
+        if self._reloader is not None:
+            # per-frame mtime poll, like the reference's checkForShaderChanges
+            # (instanced_splat_renderer.mm:430-432); cheap stat when unchanged
+            self._render_jit = self._reloader.get()
         cam = camera or self.trackball.camera(self.width, self.height)
         with self.timers.scope("frame") as h:
             h["result"] = self._render_jit(self.model, cam)
         image, alpha, depth = h["result"]
+        if self.mode == "color":
+            if self.show_overlay and self.overlay_objects:
+                ov_rgb, ov_cov = self._overlay_jit(cam)
+                image = self._overlay_mod.composite_over_background(
+                    image, 1.0 - alpha, ov_rgb, ov_cov, self.background
+                )
+            else:
+                image = image + (1.0 - alpha)[..., None] * jnp.asarray(
+                    self.background, jnp.float32
+                )
         if self.mode == "alpha":
             image = jnp.repeat(alpha[..., None], 3, axis=-1)
         elif self.mode == "depth":
@@ -78,6 +133,15 @@ class Viewer:
                 alpha[..., None] > 0.05
             )
         return to_uint8(image)
+
+    def resize(self, width: int, height: int) -> None:
+        """Change the viewport (reference: main.mm:50-52 → resize(w, h)).
+        The next frame re-jits for the new static shape; externally-supplied
+        cameras can use `Camera.resized` for the same intrinsics scaling."""
+        width = max(16, int(width))
+        height = max(16, int(height))
+        if (width, height) != (self.width, self.height):
+            self.width, self.height = width, height
 
     def metrics(self) -> dict:
         frame = self.timers.stats.get("frame")
@@ -181,6 +245,14 @@ class Viewer:
                         m = q.get("m", ["color"])[0]
                         if m in ("color", "depth", "alpha"):
                             viewer.mode = m
+                    elif kind == "overlay":
+                        viewer.show_overlay = not viewer.show_overlay
+                    elif kind == "resize":
+                        # reference resize path: drawable size → renderer
+                        # (main.mm:50-52, metal_renderer.mm:158-160)
+                        w = int(q.get("w", [viewer.width])[0])
+                        h = int(q.get("h", [viewer.height])[0])
+                        viewer.resize(w, h)
                     self.send_response(204)
                     self.end_headers()
                 else:
@@ -220,7 +292,11 @@ window.addEventListener('mouseup',()=>send('kind=up'));
 img.addEventListener('wheel',e=>{e.preventDefault();send(`kind=scroll&dy=${Math.sign(e.deltaY)}`)});
 img.addEventListener('contextmenu',e=>e.preventDefault());
 window.addEventListener('keydown',e=>{
+ if(e.key==='g'){send('kind=overlay');return;}
  const m={c:'color',d:'depth',a:'alpha'}[e.key];
  if(m)send('kind=mode&m='+m);});
+let rt=null;
+window.addEventListener('resize',()=>{clearTimeout(rt);
+ rt=setTimeout(()=>send(`kind=resize&w=${window.innerWidth}&h=${window.innerHeight}`),300);});
 </script></body></html>
 """

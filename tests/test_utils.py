@@ -60,3 +60,28 @@ def test_hot_reload_keeps_last_good(tmp_path):
     finally:
         sys.path.remove(str(tmp_path))
         sys.modules.pop("reloadable_kernel_mod", None)
+
+
+def test_checked_render_and_grads_clean_scene():
+    import jax
+
+    from gaussian_splat_tpu.camera import Camera
+    from gaussian_splat_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_tpu.utils.guards import checked_grads, checked_render, find_nonfinite
+
+    model = GaussianModel.random(jax.random.PRNGKey(0), 64, sh_degree=0)
+    cam = Camera.from_lookat((0, 0, -4), (0, 0, 0), (0, 1, 0), 60.0, 48, 32)
+    img = checked_render(model, cam)
+    assert img.shape == (32, 48, 3)
+    grads = checked_grads(model, cam)
+    assert find_nonfinite(grads) == ()
+
+
+def test_find_nonfinite_flags_bad_leaves():
+    import jax.numpy as jnp
+
+    from gaussian_splat_tpu.utils.guards import find_nonfinite
+
+    tree = {"good": jnp.ones(3), "bad": jnp.array([1.0, jnp.nan])}
+    bad = find_nonfinite(tree)
+    assert len(bad) == 1 and "bad" in bad[0]

@@ -84,3 +84,52 @@ def test_headless_viewer_renders_and_reports(tmp_path):
     m = v.metrics()
     assert m["num_gaussians"] == 50
     assert m["frame_ms"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: overlay compositing, resize, hot reload in the live loop
+# (VERDICT item 8 — reference product parity with main.mm:185-198, 50-52,
+# instanced_splat_renderer.mm:430-432)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_viewer(**kw):
+    import jax
+
+    from gaussian_splat_tpu.config import RenderConfig
+    from gaussian_splat_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_tpu.viewer.viewer import Viewer
+
+    model = GaussianModel.random(jax.random.PRNGKey(0), 50, sh_degree=0)
+    return Viewer(model, RenderConfig(backend="jnp_tile"), width=64, height=48, **kw)
+
+
+def test_viewer_composites_grid_axes_overlay():
+    v = _tiny_viewer()
+    with_overlay = v.render_frame()
+    v.show_overlay = False
+    without = v.render_frame()
+    # the grid/axes must actually appear in the frame
+    assert (with_overlay != without).any()
+    # and the clear color shows where nothing is drawn (reference clear
+    # 0.1,0.1,0.15 → uint8 ~26,26,38)
+    corner = without[0, 0]
+    assert abs(int(corner[2]) - 38) <= 2 and abs(int(corner[0]) - 26) <= 2
+
+
+def test_viewer_resize():
+    v = _tiny_viewer()
+    v.resize(96, 64)
+    frame = v.render_frame()
+    assert frame.shape == (64, 96, 3)
+    assert v.metrics()["resolution"] == [96, 64]
+
+
+def test_viewer_hot_reload_polls():
+    v = _tiny_viewer(hot_reload=True)
+    assert v._reloader is not None
+    f1 = v.render_frame()  # polls mtime (no change → same fn)
+    fn_before = v._render_jit
+    f2 = v.render_frame()
+    assert v._render_jit is fn_before
+    assert f1.shape == f2.shape
