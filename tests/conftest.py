@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 # NOTE: the JAX_PLATFORMS env var is overridden by the axon TPU plugin in this
-# image; jax.config.update is authoritative.
-jax.config.update("jax_platforms", "cpu")
+# image; jax.config.update is authoritative. GS_TPU_TESTS=1 opts out of the
+# CPU force so the hardware-gated modules (tests/test_tpu_hardware.py) can see
+# the real chip:  GS_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py
+if os.environ.get("GS_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

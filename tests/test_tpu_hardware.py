@@ -7,7 +7,7 @@ the compiled-vs-interpreted semantics on a real chip (VERDICT round 1, weak #4:
 "Pallas kernels never run on real TPU in the test suite"). Run manually or in
 CI on a TPU host:
 
-    JAX_PLATFORMS=tpu python -m pytest tests/test_tpu_hardware.py -q
+    GS_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q
 
 Everything is skipped on non-TPU backends. One module-scoped scene amortizes
 the (large) compile cost across tests.
