@@ -121,13 +121,16 @@ def main():
             schunks=config.dma_chunks,
         )
         jax.block_until_ready(pair_feats)
+        # chunks the kernel actually executes: each DMA superset covers
+        # dma_chunks compute chunks, and the segment is rounded to superset
+        # granularity from the 128-aligned base (see _fwd_kernel)
         g = config.chunk_size
+        gS = g * config.dma_chunks
         cnts = jax.device_get(binning.tile_counts)
         offs = jax.device_get(binning.tile_offsets)
         base = (offs // g) * g
-        nchunks = int(
-            (( (offs + cnts - base) + g - 1) // g * (cnts > 0)).sum()
-        )
+        nsuper = ((offs + cnts - base) + gS - 1) // gS * (cnts > 0)
+        nchunks = int(nsuper.sum()) * config.dma_chunks
 
         @jax.jit
         def run_fwd(pf, offsets, counts):

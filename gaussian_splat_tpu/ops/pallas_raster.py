@@ -736,6 +736,43 @@ def _segment_sum_by_rank(data, ranks_sorted, rank_starts, n, interpret):
     return out[:NCOLS_LIVE, :n]
 
 
+def _pack_bf16_pairs(cols):
+    """[(B,) f32]×2k → [(B,) u32]×k with two bf16 halves per lane.
+
+    The rank sort moves every payload operand through every compare-exchange
+    pass, so its cost is ~linear in operand count (measured 42 ms at 11×f32,
+    4.5M rows). Two bf16 halves per u32 halve the payload operands at a
+    ~2⁻⁹ relative quantization of the PER-PAIR gradients (bf16 keeps the f32
+    exponent range — mean-loss cotangents are ~1e-7, fp16 would flush them).
+    The final per-gaussian gradient is a ≤32-term sum of these, so its
+    relative error stays ~2⁻⁹ — inside the 3e-3 gradient test tolerances.
+    """
+    out = []
+    for j in range(0, len(cols), 2):
+        hi = jax.lax.bitcast_convert_type(
+            cols[j].astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        lo = jax.lax.bitcast_convert_type(
+            cols[j + 1].astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        out.append(hi | (lo << 16))
+    return out
+
+
+def _unpack_bf16_pairs(packed):
+    """Inverse of _pack_bf16_pairs: [(B,) u32]×k → [(B,) f32]×2k."""
+    out = []
+    for u in packed:
+        hi = jax.lax.bitcast_convert_type(
+            (u & 0xFFFF).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32)
+        lo = jax.lax.bitcast_convert_type(
+            (u >> 16).astype(jnp.uint16), jnp.bfloat16
+        ).astype(jnp.float32)
+        out.extend([hi, lo])
+    return out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def gather_pairs_t(feats10, order, ranks_keyed, rank_starts, interpret=False):
     """Feature-major per-pair gather: (N, 10) per-gaussian features →
@@ -748,13 +785,20 @@ def gather_pairs_t(feats10, order, ranks_keyed, rank_starts, interpret=False):
 
     Padding rows gather a guaranteed-zero table row (index N), which both
     zeroes them for free (no separate where pass) and keeps them inert in
-    the backward (their cotangents sort past rank_starts[N])."""
+    the backward (their cotangents sort past rank_starts[N]).
+
+    XLA's TPU gather costs ~6.5 ns per ROW regardless of row width (measured:
+    10-col and 16-col row gathers at 4.5M rows both ~28 ms), so the number of
+    B-sized gathers is what matters. Composing indices per pair
+    (take(order, rank) then take(table, src)) is TWO B-row gathers (~58 ms);
+    pre-sorting the table into rank order is one N-row gather (~6.5 ms at 1M)
+    plus ONE B-row gather — saving ~24 ms at the bench shape."""
     n = feats10.shape[0]
-    table = jnp.concatenate([feats10, jnp.zeros((1, 10), feats10.dtype)], axis=0)
-    src = jnp.where(
-        ranks_keyed < n, jnp.take(order, jnp.minimum(ranks_keyed, n - 1)), n
-    )
-    rows = jnp.take(table, src, axis=0)  # (B, 10)
+    table = jnp.concatenate(
+        [jnp.take(feats10, order, axis=0), jnp.zeros((1, 10), feats10.dtype)],
+        axis=0,
+    )  # (N+1, 10) in depth-rank order; row N = sentinel zeros
+    rows = jnp.take(table, jnp.minimum(ranks_keyed, n), axis=0)  # (B, 10)
     b = rows.shape[0]
     return jnp.concatenate(
         [rows.T, jnp.zeros((NFEAT - 10, b), feats10.dtype)], axis=0
@@ -769,21 +813,26 @@ def _gather_pairs_t_fwd(feats10, order, ranks_keyed, rank_starts, interpret):
 def _gather_pairs_t_bwd(interpret, res, d_pairs):
     order, ranks_keyed, rank_starts, n = res
     # carry the 10 live gradient rows THROUGH one rank-keyed sort (sentinel
-    # rank N puts padding rows past rank_starts[N], outside every segment)
-    ops = (ranks_keyed,) + tuple(d_pairs[j] for j in range(NCOLS_LIVE))
-    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    # rank N puts padding rows past rank_starts[N], outside every segment),
+    # bf16-packed two-per-u32 so the sort moves 6 operands instead of 11
+    # (see _pack_bf16_pairs)
+    packed = _pack_bf16_pairs([d_pairs[j] for j in range(NCOLS_LIVE)])
+    sorted_ops = jax.lax.sort((ranks_keyed, *packed), num_keys=1)
+    cols = _unpack_bf16_pairs(sorted_ops[1:])
     # pad to NFEAT rows: Mosaic HBM slices must respect the (8,128) sublane
     # tiling, so the streamed array keeps a 16-row layout
-    zrow = jnp.zeros_like(sorted_ops[1])
+    zrow = jnp.zeros_like(cols[0])
     data = jnp.stack(
-        list(sorted_ops[1:]) + [zrow] * (NFEAT - NCOLS_LIVE), axis=0
+        cols + [zrow] * (NFEAT - NCOLS_LIVE), axis=0
     )  # (16, B) rank-sorted
     d_rank = _segment_sum_by_rank(
         data, sorted_ops[0], rank_starts, n, interpret
     )  # (10, N)
-    # rank order → original order via the inverse permutation (N-sized)
-    inv = (
-        jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    # rank order → original order via the inverse permutation (N-sized).
+    # sort((order, iota)) beats .at[order].set(iota): TPU scatters serialize
+    # (~5.9 ms at 1M profiled) while the 2-operand sort is ~1.3 ms.
+    _, inv = jax.lax.sort(
+        (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
     )
     d_feats10 = jnp.take(d_rank.T, inv, axis=0)  # (N, 10)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)

@@ -81,6 +81,50 @@ def compute_cov3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
     return M @ jnp.swapaxes(M, -1, -2)
 
 
+def _rotmat_rows(quats: jax.Array):
+    """Unit-quaternion rotation as nine (N,) component arrays (row-major).
+
+    Same algebra as quat_to_rotmat but without materializing (N,3,3): batched
+    3×3 matmuls lower to MXU dot_generals with bf16 layout copies on TPU
+    (~21 ms fwd+bwd at 1M splats, profiled) — elementwise components fuse into
+    the surrounding projection arithmetic instead.
+    """
+    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-8)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (
+        1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+        2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+        2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y),
+    )
+
+
+def _cov_view_components(quats, scales, W):
+    """Upper-triangular components of Σview = (W·R)·S²·(W·R)ᵀ, elementwise.
+
+    Returns (s00, s01, s02, s11, s12, s22) as (N,) arrays. W is the (3,3)
+    camera rotation; its entries are scalars, so every operation here is an
+    (N,)-elementwise FMA that XLA fuses into one VPU pass — replacing the
+    batched-matmul chain (compute_cov3d + einsum) that lowered to MXU
+    dot_generals with layout copies.
+    """
+    r = _rotmat_rows(quats)  # row-major 3×3 components
+    # U = W @ R, unrolled: U[i][j] = Σ_k W[i,k]·R[k,j]
+    U = [
+        [
+            W[i, 0] * r[0 + j] + W[i, 1] * r[3 + j] + W[i, 2] * r[6 + j]
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    s2 = scales * scales
+    s0, s1, s2_ = s2[:, 0], s2[:, 1], s2[:, 2]
+
+    def sv(i, j):
+        return U[i][0] * U[j][0] * s0 + U[i][1] * U[j][1] * s1 + U[i][2] * U[j][2] * s2_
+
+    return sv(0, 0), sv(0, 1), sv(0, 2), sv(1, 1), sv(1, 2), sv(2, 2)
+
+
 def project_gaussians(
     means: jax.Array,  # (N, 3) world positions
     quats: jax.Array,  # (N, 4) wxyz
@@ -121,8 +165,9 @@ def project_gaussians(
     zs = jnp.where(in_front, z, 1.0)  # safe denominator for culled splats
 
     # --- 3D covariance in view space (gaussian_splat.metal:137-144) --------
-    cov3d = compute_cov3d(quats, scales)  # (N,3,3)
-    cov_view = jnp.einsum("ij,njk,lk->nil", W, cov3d, W)  # W Σ Wᵀ
+    # Elementwise (W·R)·S²·(W·R)ᵀ — see _cov_view_components for why not
+    # compute_cov3d + einsum (MXU dot_generals + layout copies, ~21 ms at 1M)
+    s00, s01, s02, s11, s12, s22 = _cov_view_components(quats, scales, W)
 
     # --- perspective Jacobian with frustum-clamped inputs ------------------
     # (gaussian_splat.metal:147-154; the 1.3× clamp is the 3DGS stabilization)
@@ -141,12 +186,6 @@ def project_gaussians(
 
     # cov2d = J · Σview · Jᵀ, expanded (avoids materializing (N,2,3) J):
     # row0 of J·Σ = j00·Σ[0,:] + j02·Σ[2,:]; row1 = j11·Σ[1,:] + j12·Σ[2,:]
-    s00 = cov_view[:, 0, 0]
-    s01 = cov_view[:, 0, 1]
-    s02 = cov_view[:, 0, 2]
-    s11 = cov_view[:, 1, 1]
-    s12 = cov_view[:, 1, 2]
-    s22 = cov_view[:, 2, 2]
     a = j00 * (j00 * s00 + j02 * s02) + j02 * (j00 * s02 + j02 * s22)
     b = j00 * (j11 * s01 + j12 * s02) + j02 * (j11 * s12 + j12 * s22)
     c = j11 * (j11 * s11 + j12 * s12) + j12 * (j11 * s12 + j12 * s22)
