@@ -50,10 +50,12 @@ class RenderConfig:
     #   gaussians); the padded-sort size is N·small + (N/fraction)·max
     big_gaussian_fraction: int = 32  # the N/fraction largest-area gaussians get
     #   the max_tiles_per_gaussian block instead of the small one
-    pairs_per_gaussian: float = 4.5  # pair budget = ceil(N * pairs_per_gaussian);
-    #   the 1M-splat bench scene uses ~3.3 at 32×16 tiles — overflow beyond the
-    #   budget drops whole farthest gaussians (rank-deterministic) and is
-    #   reported in BinningResult.overflow
+    pairs_per_gaussian: float = 4.0  # pair budget = ceil(N * pairs_per_gaussian);
+    #   the 1M-splat bench scene uses ~2.85 at 32×16 tiles with the exact
+    #   elliptical-AABB rects (~3.3 with the older circular rects) — overflow
+    #   beyond the budget drops whole farthest gaussians (rank-deterministic)
+    #   and is reported in BinningResult.overflow. Every B-proportional stage
+    #   (pair row gather, VJP rank sort, segment-sum) scales with this.
 
     # Projection -------------------------------------------------------------
     near_plane: float = 0.01  # near cull (reference: zFront < 1e-4 degenerate-vert

@@ -80,20 +80,29 @@ def tile_rects(
     width: int,
     height: int,
     config: RenderConfig,
+    extents: jax.Array = None,
 ):
     """Per-gaussian tile rectangle [tx0,tx1)×[ty0,ty1), capped to the per-gaussian
-    tile budget. Returns (tx0, ty0, rect_w, rect_h, clamped_count)."""
+    tile budget. Returns (tx0, ty0, rect_w, rect_h, clamped_count).
+
+    `extents` (N, 2), when given, is the exact per-axis ellipse AABB from
+    projection — strictly tighter than the circular `radii` for
+    anisotropic/tilted splats with identical rendered output (every dropped
+    tile is provably outside the {σ ≤ σ_max} support)."""
     tw, th = config.tile_width, config.tile_height
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
 
-    r = radii.astype(jnp.float32)
+    if extents is not None:
+        rx, ry = extents[:, 0], extents[:, 1]
+    else:
+        rx = ry = radii.astype(jnp.float32)
     mx, my = means2d[:, 0], means2d[:, 1]
 
-    tx0 = jnp.clip(jnp.floor((mx - r) / tw), 0, tx_n).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.ceil((mx + r) / tw), 0, tx_n).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((my - r) / th), 0, ty_n).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.ceil((my + r) / th), 0, ty_n).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor((mx - rx) / tw), 0, tx_n).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.ceil((mx + rx) / tw), 0, tx_n).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((my - ry) / th), 0, ty_n).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.ceil((my + ry) / th), 0, ty_n).astype(jnp.int32)
 
     w = jnp.where(valid, tx1 - tx0, 0)
     h = jnp.where(valid, ty1 - ty0, 0)
@@ -149,6 +158,7 @@ def effective_rects(
     height: int,
     config: RenderConfig,
     n_active: int = None,
+    extents: jax.Array = None,
 ):
     """Two-tier per-gaussian rects as used by `bin_gaussians`:
     the `n // big_gaussian_fraction + 1` largest-area gaussians keep up to
@@ -164,7 +174,7 @@ def effective_rects(
     mx, my = means2d[:, 0], means2d[:, 1]
 
     tx0, ty0, w, h, clamped_big = tile_rects(
-        means2d, radii, valid, width, height, config
+        means2d, radii, valid, width, height, config, extents=extents
     )
     area = w * h
 
@@ -192,12 +202,57 @@ def effective_rects(
     return tx0, ty0, w, h, is_big, big_idx, clamped
 
 
+def code_packing_ok(width: int, height: int, config: RenderConfig) -> bool:
+    """Whether the rect+flags pack into one u32 (see bin_gaussians):
+    requires tx0 ≤ 127, ty0 ≤ 511, w/area ≤ 63 — true up to 4K at 32×16."""
+    return (
+        config.tiles_x(width) <= 127
+        and config.tiles_y(height) <= 511
+        and config.max_tiles_per_gaussian <= 63
+    )
+
+
+def rect_codes(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    config: RenderConfig,
+    n_active: int = None,
+):
+    """Original-index-order packed rect codes for the one-gather pipeline.
+
+    Returns (code (N,) u32, clamped () i32). The caller rides `code`
+    (bitcast to f32) as an extra column of the depth-ordered feature-table
+    gather, then hands the gathered column to `bin_gaussians(...,
+    order=..., code_sorted=...)` — eliminating binning's own 1-column
+    gather (~10 ms at 1M on v5e; the row gather's cost is per-row, so the
+    extra column is free). Only valid when `code_packing_ok`.
+    """
+    assert code_packing_ok(width, height, config)
+    tx0_o, ty0_o, w_o, h_o, is_big_o, _big, clamped = effective_rects(
+        proj.means2d, proj.radii, proj.valid, width, height, config,
+        n_active=n_active, extents=proj.extents,
+    )
+    code = (
+        tx0_o.astype(jnp.uint32)
+        | (ty0_o.astype(jnp.uint32) << 7)
+        | (w_o.astype(jnp.uint32) << 16)
+        | ((w_o * h_o).astype(jnp.uint32) << 22)
+        | (is_big_o.astype(jnp.uint32) << 28)
+        | (proj.valid.astype(jnp.uint32) << 29)
+    )
+    return code, clamped
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     width: int,
     height: int,
     config: RenderConfig,
     max_active: int = None,
+    order: jax.Array = None,
+    code_sorted: jax.Array = None,
+    clamped_precomputed: jax.Array = None,
 ) -> BinningResult:
     """Full binning pass. All shapes static; jit-safe.
 
@@ -206,6 +261,11 @@ def bin_gaussians(
     capacity here, so the padded expansion — and the dominant pair sort — runs
     over M rows instead of N (per-chip sort ≈ 1/D of the single-chip one).
     Valid gaussians beyond the cap are counted in `dropped_gaussians`.
+
+    `order` + `code_sorted` (+ `clamped_precomputed`, all from `rect_codes`):
+    the one-gather pipeline hands in the depth order and the already-gathered
+    rect codes (they rode the pair-feature-table gather as an extra column),
+    so this function performs NO argsort and NO gather at all.
     """
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
@@ -216,8 +276,9 @@ def bin_gaussians(
     budget = config.pair_budget(m)
 
     # --- 1. depth sort (near → far); culled splats sort last ----------------
-    depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
-    order = jnp.argsort(depth_key)
+    if order is None:
+        depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
+        order = jnp.argsort(depth_key)
 
     # --- 2. two-tier tile rects ---------------------------------------------
     # Sorting dominates binning, and its size is the PADDED expansion. A flat
@@ -235,38 +296,38 @@ def bin_gaussians(
     # (means2d/radii/valid ≈ 4 columns) the depth sort used to need.
     # Requires tx0 ≤ 127, ty0 ≤ 511, w/area ≤ 63 (true up to 4K at 32×16
     # tiles); larger frames fall back to gathering the rect columns directly.
-    tx0_o, ty0_o, w_o, h_o, is_big_o, _big_idx_o, clamped = effective_rects(
-        proj.means2d, proj.radii, proj.valid, width, height, config, n_active=m
-    )
     k_small = config.small_tiles_per_gaussian
-    m_big = _big_idx_o.shape[0]
-    area_o = w_o * h_o
+    n_eff = min(m, n)
+    m_big = min(n_eff, max(n_eff // config.big_gaussian_fraction + 1, 64))
 
     # tx0/ty0 can equal tx_n/ty_n (empty rect clipped at the far edge)
     pack_ok = tx_n <= 127 and ty_n <= 511 and K <= 63
-    if pack_ok:
-        code = (
-            tx0_o.astype(jnp.uint32)
-            | (ty0_o.astype(jnp.uint32) << 7)
-            | (w_o.astype(jnp.uint32) << 16)
-            | (area_o.astype(jnp.uint32) << 22)
-            | (is_big_o.astype(jnp.uint32) << 28)
-            | (proj.valid.astype(jnp.uint32) << 29)
-        )
+    if code_sorted is not None:
+        assert pack_ok and order is not None and clamped_precomputed is not None
+        code = code_sorted  # gathered by the caller (rode the table gather)
+        clamped = clamped_precomputed
+    elif pack_ok:
+        code, clamped = rect_codes(proj, width, height, config, n_active=m)
         code = code[order]  # the ONE gather
+    else:
+        code = None
+        tx0_o, ty0_o, w_o, h_o, is_big_o, _bi, clamped = effective_rects(
+            proj.means2d, proj.radii, proj.valid, width, height, config,
+            n_active=m, extents=proj.extents,
+        )
+        tx0 = tx0_o[order]
+        ty0 = ty0_o[order]
+        w = w_o[order]
+        area = (w_o * h_o)[order]
+        is_big = is_big_o[order]
+        valid = proj.valid[order]
+    if code is not None:
         tx0 = (code & 0x7F).astype(jnp.int32)
         ty0 = ((code >> 7) & 0x1FF).astype(jnp.int32)
         w = ((code >> 16) & 0x3F).astype(jnp.int32)
         area = ((code >> 22) & 0x3F).astype(jnp.int32)
         is_big = ((code >> 28) & 1).astype(bool)
         valid = ((code >> 29) & 1).astype(bool)
-    else:
-        tx0 = tx0_o[order]
-        ty0 = ty0_o[order]
-        w = w_o[order]
-        area = area_o[order]
-        is_big = is_big_o[order]
-        valid = proj.valid[order]
 
     if m < n:
         in_cap = jnp.arange(n, dtype=jnp.int32) < m

@@ -346,6 +346,49 @@ def _raster_forward(pair_feats, offsets, counts, static: RasterStatics):
 # ---------------------------------------------------------------------------
 
 
+NPACK = 8  # u32 rows of the packed gradient array: rows 0-4 hold the 10 live
+#   gradient columns as bf16 pairs (lane j: col 2j in bits 0-15, col 2j+1 in
+#   bits 16-31), rows 5-7 zero (8-row sublane tile). Packing happens INSIDE
+#   the backward kernel (pure u32 arithmetic, Mosaic-safe), so the VJP's rank
+#   sort gets its 5 payload operands with no XLA-side pack pass and the
+#   segment-sum kernel streams half the HBM bytes.
+
+
+def _round_f32_to_bf16_bits(x):
+    """f32 (…) → u32 with the value's round-to-nearest-even bf16 bits in the
+    low 16. Pure integer ops (no 16-bit vectors needed)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    rounded = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) >> 16
+    return rounded
+
+
+def _bf16_bits_to_f32(bits16):
+    """u32 with bf16 bits in the low 16 → f32 value."""
+    return jax.lax.bitcast_convert_type(bits16 << 16, jnp.float32)
+
+
+def _pack_grads_u32(grads):
+    """(NFEAT, G) f32 per-pair gradients → (NPACK, G) u32 bf16-pair rows."""
+    rows = []
+    for j in range(0, NCOLS_LIVE, 2):
+        hi = _round_f32_to_bf16_bits(grads[j : j + 1, :])
+        lo = _round_f32_to_bf16_bits(grads[j + 1 : j + 2, :])
+        rows.append(hi | (lo << 16))
+    zero = jnp.zeros_like(rows[0])
+    return jnp.concatenate(rows + [zero] * (NPACK - len(rows)), axis=0)
+
+
+def _unpack_grads_u32(packed):
+    """(NPACK, G) u32 → (NFEAT, G) f32 (rows ≥ NCOLS_LIVE zero)."""
+    rows = []
+    for j in range(NCOLS_LIVE // 2):
+        u = packed[j : j + 1, :]
+        rows.append(_bf16_bits_to_f32(u & jnp.uint32(0xFFFF)))
+        rows.append(_bf16_bits_to_f32(u >> 16))
+    zero = jnp.zeros_like(rows[0])
+    return jnp.concatenate(rows + [zero] * (NFEAT - NCOLS_LIVE), axis=0)
+
+
 def _bwd_kernel(
     static: RasterStatics,
     offs_ref,
@@ -353,14 +396,16 @@ def _bwd_kernel(
     feats_hbm,
     fwd_out_ref,  # (NROW, P) VMEM block: forward result for this tile
     cot_ref,  # (NROW, P) VMEM block: cotangent (rows 0-2 dC, row 3 dT_final)
-    dfeats_hbm,  # output (NFEAT, B_pad) HBM
+    dfeats_hbm,  # output HBM: (NFEAT, B_pad) f32, or (NPACK, B_pad) u32 packed
     fbuf,
     gbuf,
     state,  # VMEM (P, 8): col 0 log T, col 1 prefix accumulator
-    hbuf,  # VMEM (NFEAT, G): existing grads of the shared head chunk (RMW)
+    hbuf,  # VMEM (rows, G): existing grads of the shared head chunk (RMW)
     sem,
     gsem,
     hsem,
+    *,
+    packed: bool = False,
 ):
     g = static.chunk
     S = static.schunks
@@ -455,7 +500,10 @@ def _bwd_kernel(
 
         @pl.when(jnp.logical_not(live))
         def _():
-            gbuf[slot] = jnp.zeros((NFEAT, gS), jnp.float32)
+            if packed:
+                gbuf[slot] = jnp.zeros((NPACK, gS), jnp.uint32)
+            else:
+                gbuf[slot] = jnp.zeros((NFEAT, gS), jnp.float32)
 
         @pl.when(live)
         def _():
@@ -534,14 +582,19 @@ def _bwd_kernel(
         # out-of-segment columns are exactly zero (da/w masked), so a plain
         # write is safe everywhere except the shared head g-chunk, which must
         # accumulate onto the neighbors' already-written gradients
-        gbuf[slot, :, s * g : (s + 1) * g] = grads
+        out_chunk = _pack_grads_u32(grads) if packed else grads
+        gbuf[slot, :, s * g : (s + 1) * g] = out_chunk
 
         if s == 0:
 
             @pl.when((i == 0) & shared_head)
             def _():
                 dma_head_in().wait()
-                gbuf[slot, :, 0:g] = grads + hbuf[:, :]
+                if packed:
+                    head = grads + _unpack_grads_u32(hbuf[:, :])
+                    gbuf[slot, :, 0:g] = _pack_grads_u32(head)
+                else:
+                    gbuf[slot, :, 0:g] = grads + hbuf[:, :]
 
         # advance carried state
         state[:, 0:1] = state[:, 0:1] + incl_la[:, g - 1 : g]
@@ -557,12 +610,20 @@ def _bwd_kernel(
             dma_out(jax.lax.rem(nsuper - w, NBUF), nsuper - w).wait()
 
 
-def _raster_backward(pair_feats, offsets, counts, fwd_out, cot, static: RasterStatics):
+def _raster_backward(
+    pair_feats, offsets, counts, fwd_out, cot, static: RasterStatics,
+    packed: bool = False,
+):
+    """Per-pair gradient kernel. `packed=False` → (NFEAT, B) f32 (the
+    standalone `_raster` VJP contract); `packed=True` → (NPACK, B) u32 with
+    bf16-paired rows, produced in-kernel for the fused raster+gather VJP
+    (half the gradient HBM traffic, no XLA-side pack pass)."""
     num_tiles = static.tiles_x * static.tiles_y
     npix = static.tile_w * static.tile_h
     g = static.chunk
     gS = g * static.schunks
     b_pad = pair_feats.shape[1]
+    grows, gdtype = (NPACK, jnp.uint32) if packed else (NFEAT, jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -575,18 +636,18 @@ def _raster_backward(pair_feats, offsets, counts, fwd_out, cot, static: RasterSt
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((NBUF, NFEAT, gS), jnp.float32),
-            pltpu.VMEM((NBUF, NFEAT, gS), jnp.float32),
+            pltpu.VMEM((NBUF, grows, gS), gdtype),
             pltpu.VMEM((npix, NROW), jnp.float32),
-            pltpu.VMEM((NFEAT, g), jnp.float32),
+            pltpu.VMEM((grows, g), gdtype),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA((NBUF,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, static),
+        functools.partial(_bwd_kernel, static, packed=packed),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NFEAT, b_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((grows, b_pad), gdtype),
         interpret=static.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(offsets, counts, pair_feats, fwd_out, cot)
@@ -639,13 +700,20 @@ SEG_GC = 256  # pairs per segment-sum chunk — matches the pair array's extra
 SEG_NBUF = 4
 
 
-def _segsum_kernel(bstarts_ref, data_hbm, ranks_hbm, out_ref, dbuf, rbuf, sem, rsem):
+def _segsum_kernel(
+    bstarts_ref, data_hbm, ranks_hbm, out_ref, dbuf, rbuf, sem, rsem,
+    *, packed: bool = False,
+):
     """Segment-sum of rank-sorted rows: out[:, r] = Σ_{ranks==r} data[:, i].
 
     One program per SEG_GR-rank output block; streams the block's pair range
     in aligned superset chunks and accumulates via a one-hot matmul
     (ranks == block-row) — rows from neighboring blocks simply never match,
-    so shared boundary chunks need no masks and no RMW."""
+    so shared boundary chunks need no masks and no RMW.
+
+    `packed=True`: data is (NPACK, B) u32 bf16-pair rows straight from the
+    packed backward kernel — unpacked to f32 in VMEM, halving the streamed
+    HBM bytes of the VJP's dominant reduction."""
     r = pl.program_id(0)
     s_lo = bstarts_ref[r]
     s_hi = bstarts_ref[r + 1]
@@ -689,19 +757,21 @@ def _segsum_kernel(bstarts_ref, data_hbm, ranks_hbm, out_ref, dbuf, rbuf, sem, r
         dma_r(slot, i).wait()
 
         onehot = (rbuf[slot][0:1, :] == rows).astype(jnp.float32)  # (GR, GC)
+        data = _unpack_grads_u32(dbuf[slot]) if packed else dbuf[slot]
         # (NCOLS, GC) @ (GC, GR) — one-hot RHS is bf16-exact, data splits x2
-        out_ref[:, :] = out_ref[:, :] + _mm_x2(
-            dbuf[slot], onehot, ((1,), (1,))
-        )
+        out_ref[:, :] = out_ref[:, :] + _mm_x2(data, onehot, ((1,), (1,)))
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
 
 
 def _segment_sum_by_rank(data, ranks_sorted, rank_starts, n, interpret):
-    """data: (NCOLS_LIVE, B) rank-sorted gradient rows; ranks_sorted: (B,);
-    rank_starts: (N+1,) per-rank pair boundaries. Returns (NCOLS_LIVE, N)."""
+    """data: rank-sorted gradient rows — (NFEAT, B) f32, or (NPACK, B) u32
+    bf16-pair packed; ranks_sorted: (B,); rank_starts: (N+1,) per-rank pair
+    boundaries. Returns (NCOLS_LIVE, N)."""
     b = data.shape[1]
+    packed = data.dtype == jnp.uint32
+    drows = NPACK if packed else NFEAT
     n_pad = -(-n // SEG_GR) * SEG_GR
     nblocks = n_pad // SEG_GR
     # per-block pair ranges from the exact rank boundaries (SMEM-small)
@@ -721,14 +791,14 @@ def _segment_sum_by_rank(data, ranks_sorted, rank_starts, n, interpret):
             (NFEAT, SEG_GR), lambda r, *_: (0, r), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((SEG_NBUF, NFEAT, SEG_GC), jnp.float32),
+            pltpu.VMEM((SEG_NBUF, drows, SEG_GC), data.dtype),
             pltpu.VMEM((SEG_NBUF, 1, SEG_GC), jnp.int32),
             pltpu.SemaphoreType.DMA((SEG_NBUF,)),
             pltpu.SemaphoreType.DMA((SEG_NBUF,)),
         ],
     )
     out = pl.pallas_call(
-        _segsum_kernel,
+        functools.partial(_segsum_kernel, packed=packed),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((NFEAT, n_pad), jnp.float32),
         interpret=interpret,
@@ -843,6 +913,181 @@ gather_pairs_t.defvjp(_gather_pairs_t_fwd, _gather_pairs_t_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Fused gather + raster custom VJP
+# ---------------------------------------------------------------------------
+# One custom_vjp spanning the pair gather AND the rasterization lets the
+# backward kernel emit bf16-PACKED per-pair gradients (u32 rows) directly:
+# the intermediate (16, B) f32 cotangent that a composed
+# gather_pairs_t∘_raster VJP would materialize (288 MB at B=4.5M), plus the
+# XLA-side pack/unpack passes around the rank sort, all disappear. Measured
+# at 1M/1080p on v5e: the separate path spends ~4 ms packing and ~5 ms
+# unpacking; the fused path's sort and segment-sum consume the packed rows
+# as-is (the segment-sum also streams half the bytes).
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def raster_pairs(
+    feats10, order, ranks_keyed, rank_starts, offsets, counts,
+    static: RasterStatics,
+):
+    """Gather per-pair features and rasterize: (N, 10) per-gaussian features
+    → (T·NROW, P) tile outputs, differentiable w.r.t. feats10 only."""
+    pair_feats = gather_pairs_t(
+        feats10, order, ranks_keyed, rank_starts, static.interpret
+    )
+    return _raster_forward(pair_feats, offsets, counts, static)
+
+
+def _raster_pairs_fwd(
+    feats10, order, ranks_keyed, rank_starts, offsets, counts, static
+):
+    pair_feats = gather_pairs_t(
+        feats10, order, ranks_keyed, rank_starts, static.interpret
+    )
+    out = _raster_forward(pair_feats, offsets, counts, static)
+    res = (
+        pair_feats, offsets, counts, out,
+        order, ranks_keyed, rank_starts, feats10.shape[0],
+    )
+    return out, res
+
+
+def _raster_pairs_bwd(static, res, cot):
+    (
+        pair_feats, offsets, counts, fwd_out,
+        order, ranks_keyed, rank_starts, n,
+    ) = res
+    d_packed = _raster_backward(
+        pair_feats, offsets, counts, fwd_out, cot, static, packed=True
+    )  # (NPACK, B) u32 bf16-pair rows, already in tile-major pair order
+    # rank sort with the 5 packed payload rows (6 operands total); sentinel
+    # rank n puts padding rows past rank_starts[n], outside every segment
+    sorted_ops = jax.lax.sort(
+        (ranks_keyed, *(d_packed[j] for j in range(NCOLS_LIVE // 2))),
+        num_keys=1,
+    )
+    zrow = jnp.zeros_like(sorted_ops[1])
+    data = jnp.stack(
+        list(sorted_ops[1:]) + [zrow] * (NPACK - NCOLS_LIVE // 2), axis=0
+    )  # (NPACK, B) u32, rank-sorted
+    d_rank = _segment_sum_by_rank(
+        data, sorted_ops[0], rank_starts, n, static.interpret
+    )  # (NCOLS_LIVE, N) f32, rank order
+    _, inv = jax.lax.sort(
+        (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
+    )
+    d_feats10 = jnp.take(d_rank.T, inv, axis=0)  # (N, 10), original order
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (
+        d_feats10, f0(order), f0(ranks_keyed), f0(rank_starts),
+        f0(offsets), f0(counts),
+    )
+
+
+raster_pairs.defvjp(_raster_pairs_fwd, _raster_pairs_bwd)
+
+
+# ---------------------------------------------------------------------------
+# One-gather pipeline: raster from a DEPTH-ORDERED feature table
+# ---------------------------------------------------------------------------
+# `raster_pairs` still gathers its (N, 10) feature table by `order` (a ~12 ms
+# 1M-row gather) and its VJP un-permutes the per-gaussian gradients back to
+# original order (inverse-permutation sort ~5 ms + 1M-row take ~10 ms).
+# `raster_pairs_sorted` moves the permutation OUT of the custom_vjp entirely:
+# the caller gathers the table once (riding binning's rect codes on the same
+# row gather — see binning.rect_codes) and receives rank-ordered gradients,
+# whose re-ordering is XLA's own transpose of that take (a scatter-add over
+# unique indices). Net: one 1M-row gather replaces two, and the VJP sheds its
+# inverse-permutation sort + take.
+
+
+@jax.custom_vjp
+def take_rows(x, order):
+    """Row gather with a sort-based transpose.
+
+    XLA's own VJP of `take` is a scatter-add — serialized on TPU (measured
+    ~65 ms for (1M, 11) rows vs ~15 ms for this inverse-permutation path:
+    one 2-operand sort for inv + one row gather). `order` must be a
+    permutation (unique indices), which binning's argsort guarantees."""
+    return jnp.take(x, order, axis=0)
+
+
+def _take_rows_fwd(x, order):
+    return jnp.take(x, order, axis=0), (order, x.shape[0])
+
+
+def _take_rows_bwd(res, d_out):
+    order, n = res
+    _, inv = jax.lax.sort((order, jnp.arange(n, dtype=jnp.int32)), num_keys=1)
+    return jnp.take(d_out, inv, axis=0), np.zeros(order.shape, jax.dtypes.float0)
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def raster_pairs_sorted(
+    table10, ranks_keyed, rank_starts, offsets, counts, static: RasterStatics
+):
+    """Rasterize from a depth-ordered per-gaussian feature table.
+
+    table10: (N, 10) [mx,my,A,B,C,r,g,b,depth,op] in DEPTH-RANK order
+    ranks_keyed: (B,) depth rank per pair, == N on padding rows
+    Returns (T·NROW, P) tile outputs; the VJP yields d_table10 in the same
+    rank order (the caller's gather transpose restores original order)."""
+    pair_feats = _gather_sorted_t(table10, ranks_keyed)
+    return _raster_forward(pair_feats, offsets, counts, static)
+
+
+def _gather_sorted_t(table10, ranks_keyed):
+    """(N, 10) rank-ordered table → (NFEAT, B) feature-major pair array."""
+    n = table10.shape[0]
+    table = jnp.concatenate(
+        [table10, jnp.zeros((1, 10), table10.dtype)], axis=0
+    )  # sentinel row N: zeros (padding rows gather it)
+    rows = jnp.take(table, jnp.minimum(ranks_keyed, n), axis=0)  # (B, 10)
+    b = rows.shape[0]
+    return jnp.concatenate(
+        [rows.T, jnp.zeros((NFEAT - 10, b), table10.dtype)], axis=0
+    )
+
+
+def _raster_pairs_sorted_fwd(
+    table10, ranks_keyed, rank_starts, offsets, counts, static
+):
+    pair_feats = _gather_sorted_t(table10, ranks_keyed)
+    out = _raster_forward(pair_feats, offsets, counts, static)
+    res = (pair_feats, offsets, counts, out, ranks_keyed, rank_starts,
+           table10.shape[0])
+    return out, res
+
+
+def _raster_pairs_sorted_bwd(static, res, cot):
+    pair_feats, offsets, counts, fwd_out, ranks_keyed, rank_starts, n = res
+    d_packed = _raster_backward(
+        pair_feats, offsets, counts, fwd_out, cot, static, packed=True
+    )  # (NPACK, B) u32 bf16-pair rows (packed in-kernel)
+    sorted_ops = jax.lax.sort(
+        (ranks_keyed, *(d_packed[j] for j in range(NCOLS_LIVE // 2))),
+        num_keys=1,
+    )
+    zrow = jnp.zeros_like(sorted_ops[1])
+    data = jnp.stack(
+        list(sorted_ops[1:]) + [zrow] * (NPACK - NCOLS_LIVE // 2), axis=0
+    )
+    d_rank = _segment_sum_by_rank(
+        data, sorted_ops[0], rank_starts, n, static.interpret
+    )  # (NCOLS_LIVE, N) — already in the table's rank order
+    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+    return (
+        d_rank.T, f0(ranks_keyed), f0(rank_starts), f0(offsets), f0(counts)
+    )
+
+
+raster_pairs_sorted.defvjp(_raster_pairs_sorted_fwd, _raster_pairs_sorted_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Public entry: full tiled pipeline with the Pallas kernels
 # ---------------------------------------------------------------------------
 
@@ -884,12 +1129,7 @@ def render_tiled_pallas(
         schunks=config.dma_chunks,
     )
 
-    binning = bin_gaussians(proj, width, height, config, max_active=max_active)
-    valid_p = binning.pair_tile < num_tiles
     n = proj.means2d.shape[0]
-    # pair ranks with a sentinel on padding rows → exact VJP segments
-    ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
-
     feats10 = jnp.concatenate(
         [
             proj.means2d,  # (N, 2)
@@ -900,13 +1140,46 @@ def render_tiled_pallas(
         ],
         axis=1,
     )  # (N, 10)
-    pair_feats = gather_pairs_t(
-        feats10, binning.order, ranks_keyed, binning.rank_starts, bool(interpret)
-    )  # (16, B_pad) feature-major, padding rows zeroed, sort+segsum VJP
 
-    tiles_flat = _raster(
-        pair_feats, binning.tile_offsets, binning.tile_counts, static
-    )  # (T·NROW, P)
+    from gaussian_splat_tpu.ops.binning import code_packing_ok, rect_codes
+
+    if code_packing_ok(width, height, config):
+        # ONE-GATHER PIPELINE: binning's packed rect codes ride the feature-
+        # table row gather as an 11th column (row gathers cost per ROW, so
+        # the column is free) — binning then needs no gather of its own, and
+        # the rank-ordered raster VJP needs no inverse permutation (XLA's
+        # transpose of this take restores original order).
+        m = n if max_active is None else min(max_active, n)
+        code, clamped = rect_codes(proj, width, height, config, n_active=m)
+        depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
+        order = jnp.argsort(depth_key)
+        codef = jax.lax.stop_gradient(
+            jax.lax.bitcast_convert_type(code, jnp.float32)
+        )
+        combined = jnp.concatenate([feats10, codef[:, None]], axis=1)
+        table_all = take_rows(combined, order)  # THE one gather (sort-VJP)
+        code_sorted = jax.lax.bitcast_convert_type(
+            jax.lax.stop_gradient(table_all[:, 10]), jnp.uint32
+        )
+        binning = bin_gaussians(
+            proj, width, height, config, max_active=max_active,
+            order=order, code_sorted=code_sorted, clamped_precomputed=clamped,
+        )
+        valid_p = binning.pair_tile < num_tiles
+        ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
+        tiles_flat = raster_pairs_sorted(
+            table_all[:, :10], ranks_keyed, binning.rank_starts,
+            binning.tile_offsets, binning.tile_counts, static,
+        )  # (T·NROW, P)
+    else:
+        binning = bin_gaussians(proj, width, height, config, max_active=max_active)
+        valid_p = binning.pair_tile < num_tiles
+        # pair ranks with a sentinel on padding rows → exact VJP segments
+        ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
+        tiles_flat = raster_pairs(
+            feats10, binning.order, ranks_keyed, binning.rank_starts,
+            binning.tile_offsets, binning.tile_counts, static,
+        )  # (T·NROW, P) — fused gather+raster custom VJP (packed bwd)
 
     tiles = tiles_flat.reshape(num_tiles, NROW, tw * th)
     tiles_rgbd = jnp.swapaxes(tiles[:, 0:4, :], 1, 2)  # (T, P, 4)

@@ -45,6 +45,14 @@ class ProjectedGaussians(NamedTuple):
     cov2d: jax.Array  # (N, 3) the (a, b, c) 2D covariance (pre-inverse), for debug
     compensation: jax.Array = None  # (N,) √(det Σ / det(Σ+dilation·I)) — the
     #   gsplat "antialiased" opacity factor (1.0 when antialiasing is off)
+    extents: jax.Array = None  # (N, 2) f32 per-axis billboard half-widths —
+    #   the EXACT axis-aligned bounding box of the {σ ≤ σ_max} ellipse:
+    #   rx = √(2·σ_max·cov_a), ry = √(2·σ_max·cov_c). For anisotropic or
+    #   tilted splats this is strictly tighter than the circular radius
+    #   √(2·σ_max·λmax) the reference billboards use
+    #   (/root/reference/shaders/gaussian_splat.metal:173-189), with NO
+    #   rendered-output change: pixels outside it provably fail every
+    #   backend's σ/α-skip test. Falls back to `radii` when None.
 
 
 def quat_to_rotmat(quats: jax.Array) -> jax.Array:
@@ -220,10 +228,15 @@ def project_gaussians(
             sigma_max,
             jnp.log(jnp.maximum(opacities, 1e-30)) - jnp.log(alpha_skip),
         )
-    radius_f = jnp.sqrt(
-        2.0 * jnp.maximum(sigma_max, 0.0) * jnp.maximum(lambda_max, 0.0)
-    )
+    sigma_pos = jnp.maximum(sigma_max, 0.0)
+    radius_f = jnp.sqrt(2.0 * sigma_pos * jnp.maximum(lambda_max, 0.0))
     radii = jnp.ceil(radius_f).astype(jnp.int32)
+    # exact ellipse AABB: the level set {σ ≤ σ_max} of conic = cov⁻¹ spans
+    # ±√(2·σ_max·cov_xx) in x and ±√(2·σ_max·cov_yy) in y — tighter than the
+    # λmax circle for anisotropic/tilted splats, identical output (pixels
+    # beyond it have σ > σ_max ⇒ α < alpha_skip in every backend)
+    rx = jnp.sqrt(2.0 * sigma_pos * jnp.maximum(a, 0.0))
+    ry = jnp.sqrt(2.0 * sigma_pos * jnp.maximum(c, 0.0))
 
     # --- projected center (pixels) -----------------------------------------
     mean_x = fx * x * inv_z + cx
@@ -232,13 +245,16 @@ def project_gaussians(
 
     # --- frustum cull: tile rect must intersect the screen -----------------
     on_screen = (
-        (mean_x + radius_f > 0)
-        & (mean_x - radius_f < width)
-        & (mean_y + radius_f > 0)
-        & (mean_y - radius_f < height)
+        (mean_x + rx > 0)
+        & (mean_x - rx < width)
+        & (mean_y + ry > 0)
+        & (mean_y - ry < height)
     )
     valid = in_front & det_ok & on_screen & (radii > 0)
     radii = jnp.where(valid, radii, 0)
+    extents = jnp.stack(
+        [jnp.where(valid, rx, 0.0), jnp.where(valid, ry, 0.0)], axis=-1
+    )
 
     return ProjectedGaussians(
         means2d=means2d,
@@ -248,7 +264,40 @@ def project_gaussians(
         valid=valid,
         cov2d=jnp.stack([a, b, c], axis=-1),
         compensation=compensation,
+        extents=extents,
     )
+
+
+def extents_from_conics(
+    conics: jax.Array,
+    opacities: jax.Array,
+    sigma_cutoff: float,
+    alpha_skip: float,
+    opacity_aware: bool,
+) -> jax.Array:
+    """Recover the (N, 2) exact ellipse-AABB extents from conics + opacities.
+
+    Used by the sharded exchange (parallel/sharded_render.py) so the
+    12-float feature record doesn't need to carry rx/ry: cov = conic⁻¹ gives
+    cov_xx = C/det, cov_yy = A/det, and σ_max is reconstructed the same way
+    projection computed it. With opacity_aware the bound uses the EFFECTIVE
+    (post-compensation) opacity, which is exactly the α the kernels test —
+    tight and output-invariant.
+    """
+    A, B, C = conics[:, 0], conics[:, 1], conics[:, 2]
+    det = jnp.maximum(A * C - B * B, 1e-12)
+    cov_a = C / det
+    cov_c = A / det
+    sigma_max = jnp.full_like(A, sigma_cutoff)
+    if opacity_aware and alpha_skip > 0.0:
+        sigma_max = jnp.minimum(
+            sigma_max,
+            jnp.log(jnp.maximum(opacities, 1e-30)) - jnp.log(alpha_skip),
+        )
+    sigma_pos = jnp.maximum(sigma_max, 0.0)
+    rx = jnp.sqrt(2.0 * sigma_pos * jnp.maximum(cov_a, 0.0))
+    ry = jnp.sqrt(2.0 * sigma_pos * jnp.maximum(cov_c, 0.0))
+    return jnp.stack([rx, ry], axis=-1)
 
 
 def view_directions(means: jax.Array, camera: Camera) -> jax.Array:

@@ -7,7 +7,7 @@ SURVEY §2.3):
   * The GaussianModel is sharded over the primitive axis: each chip projects
     and shades N/D gaussians (embarrassingly parallel, the FLOP-heavy
     quat→Σ→EWA chain).
-  * Screen-space features (12 floats/gaussian) reach the tile-owning chips by
+  * Screen-space features (13 floats/gaussian) reach the tile-owning chips by
     one of two exchanges (config.shard_exchange):
       - "all_gather" (default, best ≤8 devices): dense gather over ICI —
         ~48 MB/chip at 1M splats — then each chip COMPACTS to the splats whose
@@ -54,7 +54,11 @@ from gaussian_splat_tpu.ops.binning import BinningStats
 from gaussian_splat_tpu.ops.projection import ProjectedGaussians
 from gaussian_splat_tpu.ops.render import _effective_opacities, _project_and_shade
 
-NFEAT_X = 12  # exchanged floats per splat: mx,my,A,B,C,depth,radius,valid,r,g,b,op
+NFEAT_X = 13  # exchanged floats per splat:
+#   mx,my,A,B,C,depth,rx,valid,r,g,b,op,ry — rx/ry are the exact per-axis
+#   ellipse-AABB extents from projection (carried bit-identically so sharded
+#   tile rects — and therefore per-band pair counts — match the single-chip
+#   binning exactly; ry alone drives the band-intersection test)
 
 
 class ShardedRender(NamedTuple):
@@ -75,7 +79,7 @@ def _band_geometry(config: RenderConfig, height: int, ndev: int) -> Tuple[int, i
 
 
 def _pack_features(model_shard: GaussianModel, cam: Camera, config: RenderConfig):
-    """Project + shade a model shard into the 12-float exchange record."""
+    """Project + shade a model shard into the NFEAT_X-float exchange record."""
     proj, colors = _project_and_shade(model_shard, cam, config)
     opac = _effective_opacities(model_shard, proj, config)
     return jnp.concatenate(
@@ -83,10 +87,11 @@ def _pack_features(model_shard: GaussianModel, cam: Camera, config: RenderConfig
             proj.means2d,  # 0:2
             proj.conics,  # 2:5
             proj.depths[:, None],  # 5
-            proj.radii.astype(jnp.float32)[:, None],  # 6
+            proj.extents[:, 0:1],  # 6: rx
             proj.valid.astype(jnp.float32)[:, None],  # 7
             colors,  # 8:11
             opac[:, None],  # 11
+            proj.extents[:, 1:2],  # 12: ry
         ],
         axis=1,
     )
@@ -98,13 +103,15 @@ def _unpack_to_band(feats: jax.Array, row0_px, band_valid=None) -> ProjectedGaus
     valid = feats[:, 7] > 0.5
     if band_valid is not None:
         valid = valid & band_valid
+    rx, ry = feats[:, 6], feats[:, 12]
     return ProjectedGaussians(
         means2d=means2d,
         conics=feats[:, 2:5],
         depths=feats[:, 5],
-        radii=feats[:, 6].astype(jnp.int32),
+        radii=jnp.ceil(jnp.maximum(rx, ry)).astype(jnp.int32),
         valid=valid,
         cov2d=feats[:, 2:5],  # placeholder (debug only)
+        extents=jnp.stack([rx, ry], axis=-1),
     )
 
 
@@ -161,12 +168,12 @@ def render_sharded(
 
     def body_all_gather(model_shard: GaussianModel, cam: Camera):
         idx = jax.lax.axis_index(axis_name)
-        feats = _pack_features(model_shard, cam, config)  # (N/D, 12)
-        feats_all = jax.lax.all_gather(feats, axis_name, tiled=True)  # (N, 12)
+        feats = _pack_features(model_shard, cam, config)  # (N/D, NFEAT_X)
+        feats_all = jax.lax.all_gather(feats, axis_name, tiled=True)  # (N, NFEAT_X)
 
         row0_px = (idx * band_h).astype(jnp.float32)
         my = feats_all[:, 1] - row0_px
-        r = feats_all[:, 6]
+        r = feats_all[:, 12]  # ry: vertical extent drives band intersection
         in_band = (my + r > 0.0) & (my - r < band_h)
         proj_all = _unpack_to_band(feats_all, row0_px, band_valid=in_band)
         image, t_final, depth, stats = raster(
@@ -184,9 +191,9 @@ def render_sharded(
 
     def body_all_to_all(model_shard: GaussianModel, cam: Camera):
         idx = jax.lax.axis_index(axis_name)
-        feats = _pack_features(model_shard, cam, config)  # (Nl, 12)
+        feats = _pack_features(model_shard, cam, config)  # (Nl, NFEAT_X)
         my = feats[:, 1]
-        r = feats[:, 6]
+        r = feats[:, 12]  # ry
         valid_l = feats[:, 7] > 0.5
 
         # route each local splat to every band its rect touches; capacity is
@@ -205,10 +212,10 @@ def render_sharded(
             send_drop = send_drop + jnp.maximum(
                 jnp.sum(hit.astype(jnp.int32)) - a2a_cap, 0
             )
-        send = jnp.stack(sends)  # (D, cap, 12)
+        send = jnp.stack(sends)  # (D, cap, NFEAT_X)
         recv = jax.lax.all_to_all(
             send, axis_name, split_axis=0, concat_axis=0, tiled=False
-        )  # (D, cap, 12): slot j holds source j's splats for MY band
+        )  # (D, cap, NFEAT_X): slot j holds source j's splats for MY band
         feats_band = recv.reshape(ndev * a2a_cap, NFEAT_X)
 
         row0_px = (idx * band_h).astype(jnp.float32)
@@ -296,7 +303,7 @@ def sharded_binning_stats(
         send_drop = jnp.int32(0)
         if config.shard_exchange == "all_to_all":
             my = feats[:, 1]
-            r = feats[:, 6]
+            r = feats[:, 12]  # ry
             valid_l = feats[:, 7] > 0.5
             table = jnp.concatenate(
                 [feats, jnp.zeros((1, NFEAT_X), feats.dtype)], axis=0
@@ -320,7 +327,7 @@ def sharded_binning_stats(
         else:
             feats_all = jax.lax.all_gather(feats, axis_name, tiled=True)
             my = feats_all[:, 1] - row0_px
-            r = feats_all[:, 6]
+            r = feats_all[:, 12]  # ry: vertical extent drives band intersection
             in_band = (my + r > 0.0) & (my - r < band_h)
             proj_band = _unpack_to_band(feats_all, row0_px, band_valid=in_band)
             cap_arg = max_active

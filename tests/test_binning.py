@@ -96,6 +96,7 @@ def test_pairs_match_bruteforce_overlap():
         cam.width,
         cam.height,
         CFG,
+        extents=proj.extents[res.order],
     )
     expected = set()
     tx0, ty0, w, h = map(np.asarray, (tx0, ty0, w, h))

@@ -184,3 +184,46 @@ class TestAntialiasCompensation:
         # antialiasing only dims (opacity scale ≤ 1): no pixel gets brighter
         assert float(jnp.max(on - off)) < 1e-5
         assert float(jnp.max(off - on)) > 1e-4  # and some pixels dim
+
+
+class TestEllipseExtents:
+    """The per-axis extents are the EXACT AABB of the {σ ≤ σ_max} ellipse:
+    tighter than the circular radius, yet no contributing pixel escapes."""
+
+    def test_extents_bound_support_and_beat_circle(self):
+        cam = _camera()
+        key = jax.random.PRNGKey(7)
+        n = 64
+        quats = jax.random.normal(key, (n, 4))
+        means = jax.random.normal(jax.random.PRNGKey(8), (n, 3)) * 0.4
+        # strongly anisotropic scales so the ellipse AABB matters
+        scales = jnp.exp(jax.random.uniform(
+            jax.random.PRNGKey(9), (n, 3), minval=-5.0, maxval=-2.0))
+        proj = project_gaussians(means, quats, scales, cam)
+        ext = np.asarray(proj.extents)
+        r = np.asarray(proj.radii, float)
+        valid = np.asarray(proj.valid)
+        conics = np.asarray(proj.conics)
+        from gaussian_splat_tpu.config import RenderConfig
+        sigma_cut = RenderConfig().sigma_cutoff
+
+        assert (ext[valid, 0] <= r[valid] + 1e-4).all()
+        assert (ext[valid, 1] <= r[valid] + 1e-4).all()
+        # anisotropic scenes: the AABB area is strictly smaller than the circle
+        assert np.mean(ext[valid, 0] * ext[valid, 1]) < 0.9 * np.mean(r[valid] ** 2)
+
+        # exactness: sample points on the σ = σ_max level set; all must lie
+        # inside the extents box (the AABB contains the whole support)
+        theta = np.linspace(0, 2 * np.pi, 64)
+        for i in np.nonzero(valid)[0][:16]:
+            A, B, C = conics[i]
+            conic = np.array([[A, B], [B, C]])
+            # level-set points: d = sqrt(2σ/quad(u)) * u over directions u
+            u = np.stack([np.cos(theta), np.sin(theta)], -1)
+            quad = 0.5 * np.einsum("td,de,te->t", u, conic, u)
+            d = u * np.sqrt(sigma_cut / np.maximum(quad, 1e-12))[:, None]
+            assert (np.abs(d[:, 0]) <= ext[i, 0] * (1 + 1e-4) + 1e-4).all()
+            assert (np.abs(d[:, 1]) <= ext[i, 1] * (1 + 1e-4) + 1e-4).all()
+            # tightness: the level set TOUCHES the box on each axis
+            assert np.abs(d[:, 0]).max() > ext[i, 0] * 0.95
+            assert np.abs(d[:, 1]).max() > ext[i, 1] * 0.95
