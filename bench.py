@@ -25,7 +25,7 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--reps", type=int, default=4, help="frames per dispatch (overhead amortization)")
+    ap.add_argument("--reps", type=int, default=8, help="frames per dispatch: the axon dev tunnel adds a fixed ~25-30 ms per dispatch that co-located production runs don't pay; scanning frames inside one dispatch (exactly how the trainer batches steps) amortizes it")
     ap.add_argument("--sh-degree", type=int, default=1)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--fwd-only", action="store_true")

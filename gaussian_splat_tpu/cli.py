@@ -25,7 +25,7 @@ def _add_render_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--tile-height", type=int, default=16)
     p.add_argument("--sh-degree", type=int, default=3)
     p.add_argument("--background", type=float, nargs=3, default=[0.0, 0.0, 0.0])
-    p.add_argument("--pairs-per-gaussian", type=float, default=4.5)
+    p.add_argument("--pairs-per-gaussian", type=float, default=4.0)
     p.add_argument("--antialiased", action="store_true",
                    help="gsplat antialiased mode (opacity compensation)")
     p.add_argument("--aabb-clip", type=float, default=None,
@@ -85,6 +85,7 @@ def cmd_view(args) -> int:
         height=args.height,
         show_overlay=not args.no_overlay,
         hot_reload=args.hot_reload,
+        lod_fraction=args.lod,
     )
     print(f"serving {model.num_gaussians} splats at http://{args.host}:{args.port}/")
     viewer.serve(host=args.host, port=args.port)
@@ -202,6 +203,9 @@ def main(argv=None) -> int:
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--no-overlay", action="store_true",
                    help="disable the grid/axes overlay (toggle live with 'g')")
+    p.add_argument("--lod", type=float, default=0.0,
+                   help="render the top-LOD fraction of splats while the "
+                        "camera is being dragged (0 = always full model)")
     p.add_argument("--hot-reload", action="store_true",
                    help="poll the Pallas kernel module every frame and hot-swap it")
     _add_render_config_args(p)

@@ -46,8 +46,12 @@ class RenderConfig:
     max_tiles_per_gaussian: int = 32  # cap on tile-rect area for the BIG tier;
     #   radii are shrunk to fit (the reference instead drops overflow fragments
     #   outright, shaders/gaussian_splat_50layer.metal:172)
-    small_tiles_per_gaussian: int = 8  # tile-rect cap for the small tier (most
-    #   gaussians); the padded-sort size is N·small + (N/fraction)·max
+    small_tiles_per_gaussian: int = 6  # tile-rect cap for the small tier (most
+    #   gaussians); the padded-sort size is N·small + (N/fraction)·max. With
+    #   the exact elliptical-AABB extents, 99.9% of small-tier gaussians on
+    #   the 1M bench scene have area ≤ 6 (94.7% ≤ 4), so 6 adds zero crop
+    #   there while shrinking the padded pair sort 9M → 7M entries; crops on
+    #   denser scenes are center-biased and counted in clamped_rects
     big_gaussian_fraction: int = 32  # the N/fraction largest-area gaussians get
     #   the max_tiles_per_gaussian block instead of the small one
     pairs_per_gaussian: float = 4.0  # pair budget = ceil(N * pairs_per_gaussian);
@@ -86,6 +90,11 @@ class RenderConfig:
     transmittance_eps: float = 1e-6  # early chunk-skip threshold in the Pallas
     #   kernel; semantics are defined with NO early-out (τ=0) so oracle and kernel
     #   agree, and this only gates a skip whose error is ≤ τ
+    exact_vjp: bool = False  # True: f32 per-pair gradients through the VJP rank
+    #   sort (11 operands, bit-faithful); False (default): bf16-packed payload
+    #   (5 u32 operands, ~16 ms faster at 1M/1080p) with per-gaussian error
+    #   ≤ 2⁻⁹·Σ|per-pair terms| — far below minibatch gradient noise, but
+    #   visible on near-cancelling sums (see ops/pallas_raster.RasterStatics)
 
     # SH ---------------------------------------------------------------------
     sh_degree: int = 3  # active SH degree (reference parses all 45 f_rest coeffs

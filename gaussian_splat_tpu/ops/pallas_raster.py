@@ -80,6 +80,13 @@ class RasterStatics(NamedTuple):
     #   out at 1M/1080p), so batching S chunks per transfer halves the
     #   per-iteration machinery; S=2 measured best (S=4 loses to superset
     #   waste on ~550-pair average segments)
+    exact_vjp: bool = False  # False: per-pair gradients ride the VJP rank
+    #   sort bf16-packed (5 u32 payload operands — ~16 ms faster at 1M/1080p).
+    #   Error bound: |err per gaussian| ≤ 2⁻⁹·Σ|per-pair terms|, i.e. ~0.2%
+    #   of the TERM magnitudes — harmless for training (far below minibatch
+    #   noise) but visible on near-cancelling sums when compared at f32
+    #   precision. True: full f32 payloads through the sort (11 operands),
+    #   bit-faithful to the unfused backward.
 
 
 def _pixel_coords(static: RasterStatics, tile_id):
@@ -1064,17 +1071,32 @@ def _raster_pairs_sorted_fwd(
 
 def _raster_pairs_sorted_bwd(static, res, cot):
     pair_feats, offsets, counts, fwd_out, ranks_keyed, rank_starts, n = res
-    d_packed = _raster_backward(
-        pair_feats, offsets, counts, fwd_out, cot, static, packed=True
-    )  # (NPACK, B) u32 bf16-pair rows (packed in-kernel)
-    sorted_ops = jax.lax.sort(
-        (ranks_keyed, *(d_packed[j] for j in range(NCOLS_LIVE // 2))),
-        num_keys=1,
-    )
-    zrow = jnp.zeros_like(sorted_ops[1])
-    data = jnp.stack(
-        list(sorted_ops[1:]) + [zrow] * (NPACK - NCOLS_LIVE // 2), axis=0
-    )
+    if static.exact_vjp:
+        # full-precision path: f32 gradient rows ride the rank sort as 10
+        # payload operands (~16 ms slower at 1M/1080p than the packed path)
+        d_feats = _raster_backward(
+            pair_feats, offsets, counts, fwd_out, cot, static, packed=False
+        )  # (NFEAT, B) f32
+        sorted_ops = jax.lax.sort(
+            (ranks_keyed, *(d_feats[j] for j in range(NCOLS_LIVE))),
+            num_keys=1,
+        )
+        zrow = jnp.zeros_like(sorted_ops[1])
+        data = jnp.stack(
+            list(sorted_ops[1:]) + [zrow] * (NFEAT - NCOLS_LIVE), axis=0
+        )
+    else:
+        d_packed = _raster_backward(
+            pair_feats, offsets, counts, fwd_out, cot, static, packed=True
+        )  # (NPACK, B) u32 bf16-pair rows (packed in-kernel)
+        sorted_ops = jax.lax.sort(
+            (ranks_keyed, *(d_packed[j] for j in range(NCOLS_LIVE // 2))),
+            num_keys=1,
+        )
+        zrow = jnp.zeros_like(sorted_ops[1])
+        data = jnp.stack(
+            list(sorted_ops[1:]) + [zrow] * (NPACK - NCOLS_LIVE // 2), axis=0
+        )
     d_rank = _segment_sum_by_rank(
         data, sorted_ops[0], rank_starts, n, static.interpret
     )  # (NCOLS_LIVE, N) — already in the table's rank order
@@ -1127,6 +1149,7 @@ def render_tiled_pallas(
         trans_eps=config.transmittance_eps,
         interpret=bool(interpret),
         schunks=config.dma_chunks,
+        exact_vjp=config.exact_vjp,
     )
 
     n = proj.means2d.shape[0]

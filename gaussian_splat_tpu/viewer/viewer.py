@@ -56,6 +56,11 @@ class Viewer:
         #   failure (reference: instanced_splat_renderer.mm:285-336, 430-432)
         background=(0.1, 0.1, 0.15),  # the reference's clear color
         #   (simple_geometry_renderer.mm:148-149)
+        lod_fraction: float = 0.0,  # >0: render the top-impact subset
+        #   (GaussianModel.lod) while the camera is being dragged/zoomed and
+        #   the full model once idle — interactive degradation the reference
+        #   never needed (its GPU rasterizer is per-frame cheap; our binning/
+        #   gather stages scale with N)
     ):
         self.model = model
         self.config = config
@@ -65,6 +70,11 @@ class Viewer:
         self.background = background
         self.trackball = TrackballCamera()
         self.timers = ScopeTimer()
+        self.lod_fraction = lod_fraction
+        self._model_lod = (
+            model.lod(lod_fraction) if 0.0 < lod_fraction < 1.0 else None
+        )
+        self._interacting_until = 0.0
 
         from gaussian_splat_tpu.viewer import overlay as _ov
 
@@ -108,8 +118,14 @@ class Viewer:
             # (instanced_splat_renderer.mm:430-432); cheap stat when unchanged
             self._render_jit = self._reloader.get()
         cam = camera or self.trackball.camera(self.width, self.height)
+        model = self.model
+        if self._model_lod is not None:
+            import time as _time
+
+            if _time.monotonic() < self._interacting_until:
+                model = self._model_lod
         with self.timers.scope("frame") as h:
-            h["result"] = self._render_jit(self.model, cam)
+            h["result"] = self._render_jit(model, cam)
         image, alpha, depth = h["result"]
         if self.mode == "color":
             if self.show_overlay and self.overlay_objects:
@@ -229,6 +245,12 @@ class Viewer:
                     q = parse_qs(urlparse(self.path).query)
                     kind = q.get("kind", [""])[0]
                     tb = viewer.trackball
+                    if kind in ("down", "move", "scroll") and viewer._model_lod is not None:
+                        import time as _time
+
+                        # render the LOD subset while interacting, full model
+                        # ~0.4 s after the last input
+                        viewer._interacting_until = _time.monotonic() + 0.4
                     if kind == "down":
                         tb.handle_mouse_down(
                             float(q["x"][0]), float(q["y"][0]), int(q.get("b", ["0"])[0])

@@ -235,3 +235,22 @@ def test_opacity_aware_extent_is_output_neutral():
     np.testing.assert_allclose(
         np.asarray(g_on.means), np.asarray(g_off.means), atol=1e-6, rtol=1e-4
     )
+
+
+def test_gradients_exact_vjp_matches_oracle():
+    """exact_vjp=True (f32 payloads through the VJP rank sort) must match the
+    oracle at least as tightly as the default bf16-packed path."""
+    cam, model = _setup(n=60, width=64, height=48, seed=3)
+    target = jax.random.uniform(jax.random.PRNGKey(99), (48, 64, 3))
+    exact = RenderConfig(backend="pallas", exact_vjp=True)
+
+    def loss(m, cfg):
+        return jnp.mean((render(m, cam, cfg).image - target) ** 2)
+
+    g_ref = jax.grad(lambda m: loss(m, REF))(model)
+    g_pal = jax.grad(lambda m: loss(m, exact))(model)
+    for name in ["means", "quats", "log_scales", "opacity_logits", "sh"]:
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_pal, name))
+        assert np.all(np.isfinite(b)), name
+        np.testing.assert_allclose(b, a, atol=5e-6, rtol=3e-3, err_msg=name)

@@ -133,3 +133,30 @@ def test_viewer_hot_reload_polls():
     f2 = v.render_frame()
     assert v._render_jit is fn_before
     assert f1.shape == f2.shape
+
+
+def test_lod_subset_and_interactive_switch():
+    import time
+    import jax
+    from gaussian_splat_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_tpu.config import RenderConfig
+    from gaussian_splat_tpu.viewer.viewer import Viewer
+
+    model = GaussianModel.random(jax.random.PRNGKey(0), 64, sh_degree=0)
+    sub = model.lod(0.25)
+    assert sub.num_gaussians == 16
+    # the subset is the top-impact splats: its min impact >= the full set's median
+    import numpy as np
+    op = lambda m: 1.0 / (1.0 + np.exp(-np.asarray(m.opacity_logits)))
+    sm = lambda m: np.exp(np.asarray(m.log_scales)).max(-1)
+    imp_all = np.sort(op(model) * sm(model) ** 2)
+    imp_sub = op(sub) * sm(sub) ** 2
+    assert imp_sub.min() >= imp_all[len(imp_all) // 2]
+
+    v = Viewer(model, RenderConfig(backend="jnp_tile"), width=64, height=48,
+               show_overlay=False, lod_fraction=0.25)
+    full = v.render_frame()
+    v._interacting_until = time.monotonic() + 5.0
+    lod = v.render_frame()
+    assert full.shape == lod.shape
+    assert (full != lod).any()  # the degraded frame differs
