@@ -73,6 +73,22 @@ class BinningStats(NamedTuple):
         )
 
 
+def quantize_extent_up(x: jax.Array) -> jax.Array:
+    """Round a billboard extent UP to the 1/256-px grid.
+
+    The sharded path computes rects in band-local pixel coordinates
+    ((my − row0) − ry, vs the single-chip my − ry), and float subtraction
+    only reassociates exactly when both operands share a coarse-enough grid:
+    with raw float extents the two paths disagree on a rect edge by one tile
+    row ~1e-6 of the time (caught by the config-5 rehearsal's pair
+    accounting at 3M splats — per-band sums drifted +5 of 12.6M). On the
+    2⁻⁸-px grid, mean − extent is exact for coordinates < 4096 (grids align
+    within the f32 mantissa), so every path floors the same rect. Rounding
+    UP only enlarges the exact ellipse AABB (~0.1% extra pairs vs ~5.6% for
+    whole-pixel ceil), so the zero-output-change guarantee holds."""
+    return jnp.ceil(x * 256.0) * (1.0 / 256.0)
+
+
 def tile_rects(
     means2d: jax.Array,
     radii: jax.Array,
@@ -94,7 +110,8 @@ def tile_rects(
     ty_n = config.tiles_y(height)
 
     if extents is not None:
-        rx, ry = extents[:, 0], extents[:, 1]
+        rx = quantize_extent_up(extents[:, 0])
+        ry = quantize_extent_up(extents[:, 1])
     else:
         rx = ry = radii.astype(jnp.float32)
     mx, my = means2d[:, 0], means2d[:, 1]

@@ -18,6 +18,13 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "dev") -> Mesh:
     """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh({n_devices}) but only {len(devices)} devices are "
+                "visible — on CPU set XLA_FLAGS=--xla_force_host_platform_"
+                "device_count AND jax.config.update('jax_platforms', 'cpu') "
+                "(the env var alone is overridden by the axon plugin)"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

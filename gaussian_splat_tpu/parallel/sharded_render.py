@@ -33,9 +33,15 @@ pair-budget overflow, and how many in-band splats its capacity cap dropped
 `shard_capacity_factor` / `a2a_capacity_factor` trade headroom for memory.
 
 The image height is padded so every chip owns an equal integer number of tile
-rows; callers crop. Within each chip's band the math is identical to the
-single-chip path (same binning, same kernels), so sharded output is
-bit-comparable to single-chip rendering.
+rows; callers crop. Within each chip's band the math is the single-chip path
+(same binning, same kernels) run in band-local pixel coordinates; tile rects
+and pair counts match single-chip binning exactly (extents ride the exchange
+on a 1/256-px grid so the rect arithmetic reassociates exactly — see
+binning.quantize_extent_up), while pixel α values wobble by ~α·3e-4 near the
+covariance-dilation floor because (py − row0) − (my − row0) rounds
+differently from py − my. Rendering each band in GLOBAL pixel coordinates
+(shifting tile indices, not positions) would make sharded output bit-equal —
+a planned exactness lever.
 """
 
 from __future__ import annotations
@@ -50,7 +56,7 @@ from jax import shard_map
 from gaussian_splat_tpu.camera import Camera
 from gaussian_splat_tpu.config import RenderConfig
 from gaussian_splat_tpu.models.gaussians import GaussianModel
-from gaussian_splat_tpu.ops.binning import BinningStats
+from gaussian_splat_tpu.ops.binning import BinningStats, quantize_extent_up
 from gaussian_splat_tpu.ops.projection import ProjectedGaussians
 from gaussian_splat_tpu.ops.render import _effective_opacities, _project_and_shade
 
@@ -173,7 +179,9 @@ def render_sharded(
 
         row0_px = (idx * band_h).astype(jnp.float32)
         my = feats_all[:, 1] - row0_px
-        r = feats_all[:, 12]  # ry: vertical extent drives band intersection
+        # 1/256-px round-up keeps the band test exact and consistent with
+        # binning's rects (see binning.quantize_extent_up)
+        r = quantize_extent_up(feats_all[:, 12])  # ry drives band intersection
         in_band = (my + r > 0.0) & (my - r < band_h)
         proj_all = _unpack_to_band(feats_all, row0_px, band_valid=in_band)
         image, t_final, depth, stats = raster(
@@ -193,7 +201,7 @@ def render_sharded(
         idx = jax.lax.axis_index(axis_name)
         feats = _pack_features(model_shard, cam, config)  # (Nl, NFEAT_X)
         my = feats[:, 1]
-        r = feats[:, 12]  # ry
+        r = quantize_extent_up(feats[:, 12])  # ry, quantized to match binning
         valid_l = feats[:, 7] > 0.5
 
         # route each local splat to every band its rect touches; capacity is
@@ -303,7 +311,7 @@ def sharded_binning_stats(
         send_drop = jnp.int32(0)
         if config.shard_exchange == "all_to_all":
             my = feats[:, 1]
-            r = feats[:, 12]  # ry
+            r = quantize_extent_up(feats[:, 12])  # ry, quantized to match binning
             valid_l = feats[:, 7] > 0.5
             table = jnp.concatenate(
                 [feats, jnp.zeros((1, NFEAT_X), feats.dtype)], axis=0
@@ -327,7 +335,9 @@ def sharded_binning_stats(
         else:
             feats_all = jax.lax.all_gather(feats, axis_name, tiled=True)
             my = feats_all[:, 1] - row0_px
-            r = feats_all[:, 12]  # ry: vertical extent drives band intersection
+            # quantized so the band test is exact and consistent with
+            # binning's rects (see binning.quantize_extent_up)
+            r = quantize_extent_up(feats_all[:, 12])
             in_band = (my + r > 0.0) & (my - r < band_h)
             proj_band = _unpack_to_band(feats_all, row0_px, band_valid=in_band)
             cap_arg = max_active

@@ -162,3 +162,25 @@ def test_sh_warmup_masks_bands():
     # off by default: identity
     m_off = apply_sh_warmup(model, jnp.int32(0), TrainConfig())
     assert float(m_off.sh.min()) == 1.0
+
+
+def test_separable_ssim_filter_matches_depthwise_conv():
+    """The shift-add separable Gaussian filter must equal the depthwise-conv
+    formulation it replaced (the conv is a TPU trap: grouped-conv relayouts
+    defeated fusion with the rasterizer VJP, +159 ms per 1080p train step)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gaussian_splat_tpu.train.loss import _filter2d, _gaussian_window_1d
+
+    a = jax.random.uniform(jax.random.PRNGKey(0), (37, 53, 3))
+    w1 = _gaussian_window_1d(11)
+    w2 = jnp.asarray(np.outer(w1, w1))
+    x = a[None].transpose(0, 3, 1, 2)
+    ww = jnp.broadcast_to(w2[None, None], (3, 1, 11, 11))
+    y = jax.lax.conv_general_dilated(
+        x, ww, (1, 1), "SAME", feature_group_count=3,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[0].transpose(1, 2, 0)
+    np.testing.assert_allclose(np.asarray(_filter2d(a, w1)), np.asarray(y),
+                               atol=1e-6)
