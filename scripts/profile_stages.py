@@ -300,6 +300,58 @@ def main():
 
     out["alt_packed_u32_sort_budget"] = timed(f_packsort_b, packed_b, reps=args.reps); print("STAGE", "alt_packed_u32_sort_budget", round(out["alt_packed_u32_sort_budget"],2), flush=True)
 
+    # 7c. one-gather pipeline stages (the SHIPPED path in render_tiled_pallas)
+    from gaussian_splat_tpu.ops.binning import rect_codes
+    from gaussian_splat_tpu.ops.pallas_raster import (
+        take_rows,
+        raster_pairs_sorted,
+        _raster_pairs_sorted_bwd,
+        RasterStatics as _RS,
+    )
+
+    code, clamped = jax.jit(
+        lambda p: rect_codes(p, W, H, config)
+    )(proj)
+    codef = jax.lax.bitcast_convert_type(code, jnp.float32)
+    combined = jnp.concatenate([feats_rows, codef[:, None]], axis=1)
+    jax.block_until_ready(combined)
+
+    def f_take_rows(c, jiggle):
+        return take_rows(c + 1e-9 * jiggle, binning.order)
+
+    out["og_table_gather"] = timed(f_take_rows, combined, reps=args.reps); print("STAGE", "og_table_gather", round(out["og_table_gather"],2), flush=True)
+
+    def f_take_rows_vjp(c, jiggle):
+        _, vjp = jax.vjp(lambda x: take_rows(x, binning.order), c + 1e-9 * jiggle)
+        return vjp(jnp.ones_like(c))
+
+    out["og_table_gather_fwd_bwd"] = timed(f_take_rows_vjp, combined, reps=args.reps); print("STAGE", "og_table_gather_fwd_bwd", round(out["og_table_gather_fwd_bwd"],2), flush=True)
+
+    table_all = take_rows(combined, binning.order)
+    table10 = table_all[:, :10]
+    jax.block_until_ready(table10)
+
+    def f_rps_fwd(t, jiggle):
+        return raster_pairs_sorted(
+            t + 1e-9 * jiggle, ranks_keyed, binning.rank_starts,
+            binning.tile_offsets, binning.tile_counts, static,
+        )
+
+    out["og_raster_sorted_fwd"] = timed(f_rps_fwd, table10, reps=args.reps); print("STAGE", "og_raster_sorted_fwd", round(out["og_raster_sorted_fwd"],2), flush=True)
+
+    def f_rps_fwd_bwd(t, jiggle):
+        _, vjp = jax.vjp(
+            lambda x: raster_pairs_sorted(
+                x, ranks_keyed, binning.rank_starts,
+                binning.tile_offsets, binning.tile_counts, static,
+            ),
+            t + 1e-9 * jiggle,
+        )
+        return vjp(fwd_out_ones)
+
+    fwd_out_ones = jnp.ones_like(f_rps_fwd(table10, jnp.float32(0)))
+    out["og_raster_sorted_fwd_bwd"] = timed(f_rps_fwd_bwd, table10, reps=args.reps); print("STAGE", "og_raster_sorted_fwd_bwd", round(out["og_raster_sorted_fwd_bwd"],2), flush=True)
+
     # 8. full pipeline for cross-check
     def f_full(m, jiggle):
         mi = m.replace(means=m.means + 1e-6 * jiggle)
