@@ -90,6 +90,11 @@ class RenderConfig:
     transmittance_eps: float = 1e-6  # early chunk-skip threshold in the Pallas
     #   kernel; semantics are defined with NO early-out (τ=0) so oracle and kernel
     #   agree, and this only gates a skip whose error is ≤ τ
+    sat_check: bool = True  # per-superset early-saturation skip in the Pallas
+    #   kernels (a (P,1) max-reduce per iteration buys skipping all remaining
+    #   chunks once every pixel saturates below transmittance_eps — measured
+    #   3× its own bookkeeping cost even on a random scene). False = exact
+    #   τ=0 semantics with no skip; True deviates by ≤ transmittance_eps.
     exact_vjp: bool = False  # True: f32 per-pair gradients through the VJP rank
     #   sort (11 operands, bit-faithful); False (default): bf16-packed payload
     #   (5 u32 operands, ~16 ms faster at 1M/1080p) with per-gaussian error

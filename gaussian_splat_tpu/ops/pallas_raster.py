@@ -977,19 +977,36 @@ def _raster_pairs_bwd(static, res, cot):
         pair_feats, offsets, counts, fwd_out,
         order, ranks_keyed, rank_starts, n,
     ) = res
-    d_packed = _raster_backward(
-        pair_feats, offsets, counts, fwd_out, cot, static, packed=True
-    )  # (NPACK, B) u32 bf16-pair rows, already in tile-major pair order
-    # rank sort with the 5 packed payload rows (6 operands total); sentinel
-    # rank n puts padding rows past rank_starts[n], outside every segment
-    sorted_ops = jax.lax.sort(
-        (ranks_keyed, *(d_packed[j] for j in range(NCOLS_LIVE // 2))),
-        num_keys=1,
-    )
-    zrow = jnp.zeros_like(sorted_ops[1])
-    data = jnp.stack(
-        list(sorted_ops[1:]) + [zrow] * (NPACK - NCOLS_LIVE // 2), axis=0
-    )  # (NPACK, B) u32, rank-sorted
+    if static.exact_vjp:
+        # full-precision path (mirrors _raster_pairs_sorted_bwd): f32 gradient
+        # rows ride the rank sort as 10 payload operands, bit-faithful to the
+        # unfused backward — exact_vjp must hold on BOTH pipelines, not just
+        # the packed-code one (advisor finding, round 2)
+        d_feats = _raster_backward(
+            pair_feats, offsets, counts, fwd_out, cot, static, packed=False
+        )  # (NFEAT, B) f32
+        sorted_ops = jax.lax.sort(
+            (ranks_keyed, *(d_feats[j] for j in range(NCOLS_LIVE))),
+            num_keys=1,
+        )
+        zrow = jnp.zeros_like(sorted_ops[1])
+        data = jnp.stack(
+            list(sorted_ops[1:]) + [zrow] * (NFEAT - NCOLS_LIVE), axis=0
+        )  # (NFEAT, B) f32, rank-sorted
+    else:
+        d_packed = _raster_backward(
+            pair_feats, offsets, counts, fwd_out, cot, static, packed=True
+        )  # (NPACK, B) u32 bf16-pair rows, already in tile-major pair order
+        # rank sort with the 5 packed payload rows (6 operands total); sentinel
+        # rank n puts padding rows past rank_starts[n], outside every segment
+        sorted_ops = jax.lax.sort(
+            (ranks_keyed, *(d_packed[j] for j in range(NCOLS_LIVE // 2))),
+            num_keys=1,
+        )
+        zrow = jnp.zeros_like(sorted_ops[1])
+        data = jnp.stack(
+            list(sorted_ops[1:]) + [zrow] * (NPACK - NCOLS_LIVE // 2), axis=0
+        )  # (NPACK, B) u32, rank-sorted
     d_rank = _segment_sum_by_rank(
         data, sorted_ops[0], rank_starts, n, static.interpret
     )  # (NCOLS_LIVE, N) f32, rank order
@@ -1162,6 +1179,7 @@ def render_tiled_pallas(
         trans_eps=config.transmittance_eps,
         interpret=bool(interpret),
         schunks=config.dma_chunks,
+        sat_check=config.sat_check,
         exact_vjp=config.exact_vjp,
     )
 

@@ -268,38 +268,6 @@ def project_gaussians(
     )
 
 
-def extents_from_conics(
-    conics: jax.Array,
-    opacities: jax.Array,
-    sigma_cutoff: float,
-    alpha_skip: float,
-    opacity_aware: bool,
-) -> jax.Array:
-    """Recover the (N, 2) exact ellipse-AABB extents from conics + opacities.
-
-    Used by the sharded exchange (parallel/sharded_render.py) so the
-    12-float feature record doesn't need to carry rx/ry: cov = conic⁻¹ gives
-    cov_xx = C/det, cov_yy = A/det, and σ_max is reconstructed the same way
-    projection computed it. With opacity_aware the bound uses the EFFECTIVE
-    (post-compensation) opacity, which is exactly the α the kernels test —
-    tight and output-invariant.
-    """
-    A, B, C = conics[:, 0], conics[:, 1], conics[:, 2]
-    det = jnp.maximum(A * C - B * B, 1e-12)
-    cov_a = C / det
-    cov_c = A / det
-    sigma_max = jnp.full_like(A, sigma_cutoff)
-    if opacity_aware and alpha_skip > 0.0:
-        sigma_max = jnp.minimum(
-            sigma_max,
-            jnp.log(jnp.maximum(opacities, 1e-30)) - jnp.log(alpha_skip),
-        )
-    sigma_pos = jnp.maximum(sigma_max, 0.0)
-    rx = jnp.sqrt(2.0 * sigma_pos * jnp.maximum(cov_a, 0.0))
-    ry = jnp.sqrt(2.0 * sigma_pos * jnp.maximum(cov_c, 0.0))
-    return jnp.stack([rx, ry], axis=-1)
-
-
 def view_directions(means: jax.Array, camera: Camera) -> jax.Array:
     """Unit directions camera-center → gaussian, for SH evaluation."""
     d = means - camera.position

@@ -254,3 +254,56 @@ def test_gradients_exact_vjp_matches_oracle():
         b = np.asarray(getattr(g_pal, name))
         assert np.all(np.isfinite(b)), name
         np.testing.assert_allclose(b, a, atol=5e-6, rtol=3e-3, err_msg=name)
+
+
+def test_sat_check_off_matches_oracle():
+    """sat_check=False (no early-saturation skip) is exact tau=0 semantics:
+    image AND gradients match the oracle on a deeply-saturating scene."""
+    cam, model = _setup(n=150, width=64, height=48, seed=7)
+    # crank opacities so transmittance saturates within a few chunks
+    model = model.replace(opacity_logits=model.opacity_logits + 4.0)
+    target = jax.random.uniform(jax.random.PRNGKey(5), (48, 64, 3))
+    off = RenderConfig(backend="pallas", sat_check=False)
+
+    np.testing.assert_allclose(
+        np.asarray(render(model, cam, off).image),
+        np.asarray(render(model, cam, REF).image),
+        atol=3e-5, rtol=1e-4,
+    )
+
+    def loss(m, cfg):
+        return jnp.mean((render(m, cam, cfg).image - target) ** 2)
+
+    g_ref = jax.grad(lambda m: loss(m, REF))(model)
+    g_off = jax.grad(lambda m: loss(m, off))(model)
+    for name in ["means", "quats", "log_scales", "opacity_logits", "sh"]:
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_off, name))
+        assert np.all(np.isfinite(b)), name
+        np.testing.assert_allclose(b, a, atol=5e-6, rtol=3e-3, err_msg=name)
+
+
+def test_exact_vjp_on_fallback_pipeline():
+    """exact_vjp must hold on the raster_pairs fallback too (packed-code
+    pipeline disabled via max_tiles_per_gaussian > 63 — advisor finding,
+    round 2): f32 payloads, no bf16 quantization of per-pair gradients."""
+    from gaussian_splat_tpu.ops.binning import code_packing_ok
+
+    cam, model = _setup(n=60, width=64, height=48, seed=3)
+    target = jax.random.uniform(jax.random.PRNGKey(99), (48, 64, 3))
+    exact = RenderConfig(
+        backend="pallas", exact_vjp=True, max_tiles_per_gaussian=64
+    )
+    assert not code_packing_ok(64, 48, exact)
+
+    def loss(m, cfg):
+        return jnp.mean((render(m, cam, cfg).image - target) ** 2)
+
+    ref64 = RenderConfig(backend="reference", max_tiles_per_gaussian=64)
+    g_ref = jax.grad(lambda m: loss(m, ref64))(model)
+    g_pal = jax.grad(lambda m: loss(m, exact))(model)
+    for name in ["means", "quats", "log_scales", "opacity_logits", "sh"]:
+        a = np.asarray(getattr(g_ref, name))
+        b = np.asarray(getattr(g_pal, name))
+        assert np.all(np.isfinite(b)), name
+        np.testing.assert_allclose(b, a, atol=5e-6, rtol=3e-3, err_msg=name)
