@@ -44,6 +44,7 @@ class BinningResult(NamedTuple):
     num_pairs: jax.Array  # () int32 valid pairs before budget truncation
     overflow: jax.Array  # () int32 pairs dropped by the budget
     clamped_rects: jax.Array  # () int32 gaussians whose tile rect was shrunk
+    #   by the per-gaussian K cap or the tier-capacity overflow below
     rank_starts: jax.Array = None  # (N+1,) int32 exclusive cumsum of per-rank
     #   pair counts: pairs of depth-rank r number rank_starts[r+1]−rank_starts[r].
     #   Exact by construction (overflow drops whole farthest gaussians), which
@@ -51,6 +52,12 @@ class BinningResult(NamedTuple):
     dropped_gaussians: jax.Array = None  # () int32 valid gaussians beyond the
     #   `max_active` compaction cap (sharded path: in-band splats a chip had to
     #   drop because its band capacity overflowed; 0 when max_active is None)
+    tier_overflow: jax.Array = None  # () int32 big-tier-ELIGIBLE gaussians
+    #   (threshold: K-capped rect area > small cap) denied a big slot because
+    #   the static big-tier capacity overflowed — the ONLY population-relative
+    #   decision left in binning: when this is 0 on every shard, tier
+    #   membership (and so every rect) is a pure per-gaussian function and the
+    #   sharded pair partition is exact (round-2 verdict item 5b)
 
 
 class BinningStats(NamedTuple):
@@ -61,6 +68,8 @@ class BinningStats(NamedTuple):
     overflow: jax.Array  # () int32 pairs dropped by the pair budget
     clamped_rects: jax.Array  # () int32 shrunk tile rects
     dropped_gaussians: jax.Array  # () int32 splats dropped by max_active
+    tier_overflow: jax.Array = None  # () int32 big-tier capacity misses (the
+    #   partition-exactness sentinel — see BinningResult.tier_overflow)
 
     @classmethod
     def of(cls, b: "BinningResult") -> "BinningStats":
@@ -70,6 +79,7 @@ class BinningStats(NamedTuple):
             overflow=b.overflow,
             clamped_rects=b.clamped_rects,
             dropped_gaussians=zero if b.dropped_gaussians is None else b.dropped_gaussians,
+            tier_overflow=zero if b.tier_overflow is None else b.tier_overflow,
         )
 
 
@@ -97,6 +107,7 @@ def tile_rects(
     height: int,
     config: RenderConfig,
     extents: jax.Array = None,
+    total_tiles_y: int = None,
 ):
     """Per-gaussian tile rectangle [tx0,tx1)×[ty0,ty1), capped to the per-gaussian
     tile budget. Returns (tx0, ty0, rect_w, rect_h, clamped_count).
@@ -104,10 +115,16 @@ def tile_rects(
     `extents` (N, 2), when given, is the exact per-axis ellipse AABB from
     projection — strictly tighter than the circular `radii` for
     anisotropic/tilted splats with identical rendered output (every dropped
-    tile is provably outside the {σ ≤ σ_max} support)."""
+    tile is provably outside the {σ ≤ σ_max} support).
+
+    `total_tiles_y` (static): the GLOBAL tile-row count when this call covers
+    only a horizontal band of a taller frame (sharded path). Rects — and the
+    K-cap shrink — are computed against the global grid so every shard makes
+    the same per-gaussian decision; the caller band-clips afterwards
+    (see effective_rects)."""
     tw, th = config.tile_width, config.tile_height
     tx_n = config.tiles_x(width)
-    ty_n = config.tiles_y(height)
+    ty_n = config.tiles_y(height) if total_tiles_y is None else total_tiles_y
 
     if extents is not None:
         rx = quantize_extent_up(extents[:, 0])
@@ -177,12 +194,25 @@ def effective_rects(
     n_active: int = None,
     extents: jax.Array = None,
 ):
-    """Two-tier per-gaussian rects as used by `bin_gaussians`:
-    the `n // big_gaussian_fraction + 1` largest-area gaussians keep up to
-    `max_tiles_per_gaussian` tiles; everyone else is shrunk to
-    `small_tiles_per_gaussian`. `n_active` sizes the big tier when only a
-    prefix of the rows can emit pairs (sharded compaction).
-    Returns (tx0, ty0, w, h, is_big, big_idx, clamped_count)."""
+    """Two-tier per-gaussian rects as used by `bin_gaussians`.
+
+    Tier membership is a per-gaussian THRESHOLD: any splat whose K-capped rect
+    area exceeds `small_tiles_per_gaussian` is big-tier eligible. This makes
+    the tier decision — and therefore every emitted rect — a pure function of
+    the splat itself, identical no matter how the population is sharded
+    (round 2 used top-(N/fraction)-by-area membership, which was population-
+    relative, so per-band rects diverged from single-chip whenever shrinks
+    fired — the config-5 rehearsal's accounting caveat).
+
+    The big tier keeps a STATIC capacity `n_eff // big_gaussian_fraction + 1`
+    (it sizes the K-block expansion and the pair budget); eligible splats
+    beyond capacity lose deterministically by area and are shrunk to the
+    small cap, counted in `tier_overflow` — zero in any sane configuration,
+    and the partition-exactness sentinel for the sharded path.
+
+    `n_active` sizes the capacity when only a prefix of the depth-sorted rows
+    can emit pairs (sharded compaction).
+    Returns (tx0, ty0, w, h, is_big, big_idx, clamped, tier_overflow)."""
     tw, th = config.tile_width, config.tile_height
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
@@ -193,13 +223,19 @@ def effective_rects(
     tx0, ty0, w, h, clamped_big = tile_rects(
         means2d, radii, valid, width, height, config, extents=extents
     )
-    area = w * h
+    area = w * h  # 0 on invalid rows
 
     # floor of 64 big slots: small scenes get the full-size tier everywhere
     # (the fraction only matters once N is large enough for the sort to hurt)
     m_big = min(n_eff, max(n_eff // config.big_gaussian_fraction + 1, 64))
-    _, big_idx = jax.lax.top_k(area, m_big)
-    is_big = jnp.zeros((n,), bool).at[big_idx].set(True)
+    eligible = area > config.small_tiles_per_gaussian
+    score = jnp.where(eligible, area, 0)
+    _, big_idx = jax.lax.top_k(score, m_big)
+    sel = eligible[big_idx]  # capacity slots actually holding eligible splats
+    is_big = jnp.zeros((n,), bool).at[big_idx].set(sel)
+    tier_overflow = jnp.sum(eligible.astype(jnp.int32)) - jnp.sum(
+        sel.astype(jnp.int32)
+    )
 
     tx0, ty0, w, h, shrunk = _shrink_to_cap(
         tx0,
@@ -216,7 +252,7 @@ def effective_rects(
         apply=~is_big,
     )
     clamped = clamped_big + jnp.sum((shrunk & valid).astype(jnp.int32))
-    return tx0, ty0, w, h, is_big, big_idx, clamped
+    return tx0, ty0, w, h, is_big, big_idx, clamped, tier_overflow
 
 
 def code_packing_ok(width: int, height: int, config: RenderConfig) -> bool:
@@ -238,7 +274,7 @@ def rect_codes(
 ):
     """Original-index-order packed rect codes for the one-gather pipeline.
 
-    Returns (code (N,) u32, clamped () i32). The caller rides `code`
+    Returns (code (N,) u32, clamped () i32, tier_overflow () i32). The caller rides `code`
     (bitcast to f32) as an extra column of the depth-ordered feature-table
     gather, then hands the gathered column to `bin_gaussians(...,
     order=..., code_sorted=...)` — eliminating binning's own 1-column
@@ -246,7 +282,7 @@ def rect_codes(
     extra column is free). Only valid when `code_packing_ok`.
     """
     assert code_packing_ok(width, height, config)
-    tx0_o, ty0_o, w_o, h_o, is_big_o, _big, clamped = effective_rects(
+    tx0_o, ty0_o, w_o, h_o, is_big_o, _big, clamped, tier_ovf = effective_rects(
         proj.means2d, proj.radii, proj.valid, width, height, config,
         n_active=n_active, extents=proj.extents,
     )
@@ -258,7 +294,7 @@ def rect_codes(
         | (is_big_o.astype(jnp.uint32) << 28)
         | (proj.valid.astype(jnp.uint32) << 29)
     )
-    return code, clamped
+    return code, clamped, tier_ovf
 
 
 def bin_gaussians(
@@ -270,6 +306,7 @@ def bin_gaussians(
     order: jax.Array = None,
     code_sorted: jax.Array = None,
     clamped_precomputed: jax.Array = None,
+    tier_overflow_precomputed: jax.Array = None,
 ) -> BinningResult:
     """Full binning pass. All shapes static; jit-safe.
 
@@ -323,12 +360,17 @@ def bin_gaussians(
         assert pack_ok and order is not None and clamped_precomputed is not None
         code = code_sorted  # gathered by the caller (rode the table gather)
         clamped = clamped_precomputed
+        tier_ovf = tier_overflow_precomputed
+        if tier_ovf is None:
+            tier_ovf = jnp.int32(0)
     elif pack_ok:
-        code, clamped = rect_codes(proj, width, height, config, n_active=m)
+        code, clamped, tier_ovf = rect_codes(
+            proj, width, height, config, n_active=m
+        )
         code = code[order]  # the ONE gather
     else:
         code = None
-        tx0_o, ty0_o, w_o, h_o, is_big_o, _bi, clamped = effective_rects(
+        tx0_o, ty0_o, w_o, h_o, is_big_o, _bi, clamped, tier_ovf = effective_rects(
             proj.means2d, proj.radii, proj.valid, width, height, config,
             n_active=m, extents=proj.extents,
         )
@@ -353,9 +395,11 @@ def bin_gaussians(
     else:
         dropped = jnp.int32(0)
 
-    # rank-space index list of the big tier (exactly m_big set bits by
-    # construction; cheap in context — XLA fuses the 0/1 top_k)
+    # rank-space index list of the big tier (≤ m_big set bits — threshold
+    # membership leaves capacity slots unused on scenes with few big splats;
+    # cheap in context — XLA fuses the 0/1 top_k)
     _, big_idx = jax.lax.top_k(is_big.astype(jnp.int32), m_big)
+    big_used = is_big[big_idx]  # mask of capacity slots actually occupied
 
     # --- 2b. rank-deterministic budget truncation ---------------------------
     # Drop WHOLE gaussians from the far end of the depth order until the pair
@@ -373,7 +417,9 @@ def bin_gaussians(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(eff_area).astype(jnp.int32)]
     )
 
-    big_vals = eff_area[big_idx]  # post-truncation areas of the big set
+    # post-truncation areas of the big set; UNUSED capacity slots must emit
+    # nothing (their rows already emit through the small tier)
+    big_vals = jnp.where(big_used, eff_area[big_idx], 0)
 
     # --- 3. padded pair expansion, then ONE sort -----------------------------
     # Measured head-to-head on a v5e at 200k splats / 12.8M padded pairs:
@@ -481,4 +527,5 @@ def bin_gaussians(
         clamped_rects=clamped,
         rank_starts=rank_starts,
         dropped_gaussians=dropped,
+        tier_overflow=tier_ovf,
     )

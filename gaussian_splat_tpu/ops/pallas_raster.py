@@ -114,30 +114,35 @@ def _chunk_alpha(static: RasterStatics, f, px, py, row0, seg_lo, seg_hi):
     `row0` is the chunk's global row in the pair array; rows outside
     [seg_lo, seg_hi) belong to neighboring tiles and are masked out.
     Returns (alpha, la, extras); alpha/la have shape (P, G).
+
+    The σ / keep / α math is ops/falloff.py, textually shared with the oracle
+    and the jnp tile backend: the per-pixel cutoff+skip+validity tests fold
+    into ONE per-gaussian bound computed on (1, G) rows, so the (P, G) inner
+    loop runs 2 compares + 1 and (was 4 compares + 3 ands in round 2 — the
+    keep chain was ~14% of the forward kernel's VPU model).
     """
+    from gaussian_splat_tpu.ops.falloff import (
+        alpha_from_sigma, sigma_bound, sigma_quadform,
+    )
+
     g = static.chunk
     mx = f[0:1, :]  # (1, G) — broadcasts against (P, 1) coords
     my = f[1:2, :]
-    A = f[2:3, :]
+    A2 = 0.5 * f[2:3, :]
     B = f[3:4, :]
-    C = f[4:5, :]
+    C2 = 0.5 * f[4:5, :]
     op = f[9:10, :]
-
-    dx = px - mx  # (P, G)
-    dy = py - my
-    sigma = 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, g), 1) + row0
     row_valid = (lane >= seg_lo) & (lane < seg_hi)  # (1, G)
+    bound = sigma_bound(op, row_valid, static.sigma_cutoff, static.alpha_skip)
 
-    alpha_raw = op * jnp.exp(-sigma)
-    keep = (
-        (sigma >= 0.0)
-        & (sigma <= static.sigma_cutoff)
-        & (alpha_raw >= static.alpha_skip)
-        & row_valid
+    dx = px - mx  # (P, G)
+    dy = py - my
+    sigma = sigma_quadform(dx, dy, A2, B, C2)
+    alpha, alpha_raw, keep = alpha_from_sigma(
+        sigma, op, bound, static.alpha_clamp
     )
-    alpha = jnp.where(keep, jnp.minimum(alpha_raw, static.alpha_clamp), 0.0)
     la = jnp.log1p(-alpha)
     return alpha, la, (dx, dy, sigma, alpha_raw, keep)
 
@@ -227,6 +232,46 @@ def _mm_x2x2(a, b, dims):
     )
 
 
+def _mm_x2x2_2p(a, b, dims, small: str):
+    """The three split products of _mm_x2x2 in TWO MXU passes.
+
+    Every (P,G)-class matmul here pads its small free dimension (4-8 rows of
+    channels / moments / cotangents) to the 128-wide MXU anyway, so the hi and
+    lo halves of the SMALL operand stack along that free axis and ride ONE
+    pass against the other operand's hi half; pass two is the other operand's
+    lo half against the small hi. Same three product terms as _mm_x2x2 (only
+    the final add order differs): the forward's channel accumulation drops
+    from 3 MXU passes to 2, the backward's moment and channel-gradient
+    matmuls from 3+3 to 2+2 (kernel MXU models: fwd 5→4, bwd 10→8 passes).
+
+    `small`: which operand ('a' or 'b') carries the small free axis. Its free
+    size must be ≤ 64 so the stacked operand still fits one MXU tile.
+    """
+    (ca,), (cb,) = dims
+    kw = dict(
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    d = (dims, ((), ()))
+    if small == "b":
+        fb = 1 - cb
+        nb = b.shape[fb]
+        b2 = jnp.concatenate([b_hi, b_lo], axis=fb)
+        p1 = jax.lax.dot_general(a_hi, b2, d, **kw)  # [a_hi·b_hi | a_hi·b_lo]
+        p2 = jax.lax.dot_general(a_lo, b_hi, d, **kw)
+        return p1[..., :nb] + p1[..., nb:] + p2
+    fa = 1 - ca
+    na = a.shape[fa]
+    a2 = jnp.concatenate([a_hi, a_lo], axis=fa)
+    p1 = jax.lax.dot_general(a2, b_hi, d, **kw)  # [a_hi·b_hi ; a_lo·b_hi]
+    p2 = jax.lax.dot_general(a_hi, b_lo, d, **kw)
+    return p1[:na] + p1[na:] + p2
+
+
 def _transpose_mm(x):
     """(m, n) → (n, m) via identity matmul — avoids Mosaic relayout transposes.
 
@@ -298,23 +343,37 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
 
         def compute():
             for s in range(S):
-                f = fbuf[slot][:, s * g : (s + 1) * g]  # (NFEAT, G)
-                alpha, la, _ = _chunk_alpha(
-                    static, f, px, py, base + i * gS + s * g, off, end
-                )
-                incl_la = _mm_x2(la, upper, ((1,), (0,)))  # (P, G) incl prefix
-                excl = incl_la - la  # exclusive prefix, exact given incl_la
-                w = alpha * jnp.exp(excl + acc[:, 4:5])  # (P, G): α_i · T_i
-                # rgb+depth accumulation: ONE split-f32 MXU contraction over
-                # the lane axis, (P,G)×(4,G)→(P,4). The earlier four VPU
-                # cross-lane reduction trees (~7 shuffle-add passes each) were
-                # the kernel's single largest VPU cost; the matmul pads N=4 to
-                # the MXU width but the kernel is VPU-bound, so shifting the
-                # reduction to the idle MXU wins (measured 30.9 → ~22 ms at
-                # 1M/1080p)
-                chans = f[5:9, :]  # (4, G)
-                acc[:, 0:4] = acc[:, 0:4] + _mm_x2x2(w, chans, ((1,), (1,)))
-                acc[:, 4:5] = acc[:, 4:5] + incl_la[:, g - 1 : g]
+
+                def chunk(s=s):
+                    f = fbuf[slot][:, s * g : (s + 1) * g]  # (NFEAT, G)
+                    alpha, la, _ = _chunk_alpha(
+                        static, f, px, py, base + i * gS + s * g, off, end
+                    )
+                    incl_la = _mm_x2(la, upper, ((1,), (0,)))  # (P,G) incl prefix
+                    excl = incl_la - la  # exclusive prefix, exact given incl_la
+                    w = alpha * jnp.exp(excl + acc[:, 4:5])  # (P, G): α_i · T_i
+                    # rgb+depth accumulation: split-f32 MXU contraction over
+                    # the lane axis, (P,G)×(4,G)→(P,4). The earlier four VPU
+                    # cross-lane reduction trees (~7 shuffle-add passes each)
+                    # were the kernel's single largest VPU cost; the matmul
+                    # pads N=4 to the MXU width but the kernel is VPU-bound,
+                    # so shifting the reduction to the idle MXU wins (measured
+                    # 30.9 → ~22 ms at 1M/1080p); the stacked-[hi|lo] variant
+                    # then cuts the padding waste from 3 passes to 2
+                    chans = f[5:9, :]  # (4, G)
+                    acc[:, 0:4] = acc[:, 0:4] + _mm_x2x2_2p(
+                        w, chans, ((1,), (1,)), small="b"
+                    )
+                    acc[:, 4:5] = acc[:, 4:5] + incl_la[:, g - 1 : g]
+
+                if s == 0:
+                    chunk()  # first chunk of a live superset always has rows
+                else:
+                    # segments rarely fill the superset: the tail compute
+                    # chunk is fully masked whenever the segment ends in an
+                    # earlier chunk, and a fully-masked chunk is an exact
+                    # no-op (α ≡ 0 ⇒ la ≡ 0 ⇒ both accumulators unchanged)
+                    pl.when(base + i * gS + s * g < end)(chunk)
 
         if not static.sat_check:
             compute()
@@ -512,9 +571,30 @@ def _bwd_kernel(
         # transmittance is below trans_eps, remaining pairs' gradients are
         # O(eps) — write zeros instead of computing them. Chunk 0 is always
         # live (logT starts at 0), so the shared-head RMW stays on the live path.
-        if not static.sat_check:
+        def live_chunks():
+            # the tail compute chunk of the last superset is fully masked
+            # whenever the segment ends earlier; zero its gradient slot (the
+            # out-DMA writes the whole superset and the next tile RMW-reads
+            # it) and skip the compute — exact, the masked chunk's grads and
+            # state deltas are identically zero
             for s in range(S):
-                _bwd_chunk(i, slot, s)
+                if s == 0:
+                    _bwd_chunk(i, slot, s)
+                else:
+                    if packed:
+                        gbuf[slot, :, s * g :] = jnp.zeros(
+                            (NPACK, gS - s * g), jnp.uint32
+                        )
+                    else:
+                        gbuf[slot, :, s * g :] = jnp.zeros(
+                            (NFEAT, gS - s * g), jnp.float32
+                        )
+                    pl.when(base + i * gS + s * g < end)(
+                        functools.partial(_bwd_chunk, i, slot, s)
+                    )
+
+        if not static.sat_check:
+            live_chunks()
         else:
             live = jnp.max(state[:, 0:1]) > log_eps
 
@@ -525,10 +605,7 @@ def _bwd_kernel(
                 else:
                     gbuf[slot] = jnp.zeros((NFEAT, gS), jnp.float32)
 
-            @pl.when(live)
-            def _():
-                for s in range(S):
-                    _bwd_chunk(i, slot, s)
+            pl.when(live)(live_chunks)
 
         dma_out(slot, i).start()
         return 0
@@ -567,7 +644,7 @@ def _bwd_kernel(
         # coordinates (well-conditioned, unlike absolute pixel coords whose
         # squares cancel), every needed reduction is a polynomial in the raw
         # moments S_k = Σ_p dσ(p,·)·basis_k(p).
-        S = _mm_x2x2(basis, dsigma, ((1,), (0,)))  # (8, G)
+        S = _mm_x2x2(basis, dsigma, ((1,), (0,)))  # (8, G)  # BISECT
         s1 = S[0:1, :]
         sx = S[1:2, :]
         sy = S[2:3, :]
@@ -593,7 +670,7 @@ def _bwd_kernel(
         dC = 0.5 * m_yy
         # Σ_p da·e^{-σ} = Σ_p (−dσ)/op = −S1/op (op is uniform per lane)
         dop = jnp.where(op > 0.0, -s1 / jnp.where(op > 0.0, op, 1.0), 0.0)
-        dchans = _mm_x2x2(gC, w, ((0,), (0,)))  # (4, G): Σ_p gC(p,c)·w(p,g)
+        dchans = _mm_x2x2_2p(gC, w, ((0,), (0,)), small="a")  # (4, G)
 
         zeros6 = jnp.zeros((NFEAT - 10, g), jnp.float32)
         grads = jnp.concatenate(
@@ -1204,7 +1281,9 @@ def render_tiled_pallas(
         # the rank-ordered raster VJP needs no inverse permutation (XLA's
         # transpose of this take restores original order).
         m = n if max_active is None else min(max_active, n)
-        code, clamped = rect_codes(proj, width, height, config, n_active=m)
+        code, clamped, tier_ovf = rect_codes(
+            proj, width, height, config, n_active=m
+        )
         depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
         order = jnp.argsort(depth_key)
         codef = jax.lax.stop_gradient(
@@ -1218,6 +1297,7 @@ def render_tiled_pallas(
         binning = bin_gaussians(
             proj, width, height, config, max_active=max_active,
             order=order, code_sorted=code_sorted, clamped_precomputed=clamped,
+            tier_overflow_precomputed=tier_ovf,
         )
         valid_p = binning.pair_tile < num_tiles
         ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)

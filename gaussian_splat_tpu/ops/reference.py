@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from gaussian_splat_tpu.config import RenderConfig
+from gaussian_splat_tpu.ops.falloff import alpha_from_sigma, sigma_bound, sigma_quadform
 
 
 def composite_sorted(
@@ -49,20 +50,18 @@ def composite_sorted(
 
     dx = xs[None, None, :] - means2d[:, 0, None, None]  # (N,H,W) via broadcast
     dy = ys[None, :, None] - means2d[:, 1, None, None]
-    A = conics[:, 0, None, None]
+    A2 = 0.5 * conics[:, 0, None, None]
     B = conics[:, 1, None, None]
-    C = conics[:, 2, None, None]
-    sigma = 0.5 * (A * dx * dx + C * dy * dy) + B * dx * dy  # (N,H,W)
-
-    alpha_raw = opacities[:, None, None] * jnp.exp(-sigma)
-    alpha = jnp.minimum(alpha_raw, config.alpha_clamp)
-    keep = (
-        (sigma >= 0.0)
-        & (sigma <= config.sigma_cutoff)
-        & (alpha >= config.alpha_skip)
-        & valid[:, None, None]
+    C2 = 0.5 * conics[:, 2, None, None]
+    # σ / keep / α semantics live in ops/falloff.py — textually shared with
+    # the jnp tile backend and the Pallas kernels so boundary pixels agree
+    sigma = sigma_quadform(dx, dy, A2, B, C2)  # (N,H,W)
+    bound = sigma_bound(
+        opacities[:, None, None], valid[:, None, None],
+        config.sigma_cutoff, config.alpha_skip,
     )
-    alpha = jnp.where(keep, alpha, 0.0)
+    alpha, _, _ = alpha_from_sigma(sigma, opacities[:, None, None], bound,
+                                   config.alpha_clamp)
 
     trans = jnp.cumprod(1.0 - alpha, axis=0)  # inclusive
     t_excl = jnp.concatenate(

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from gaussian_splat_tpu.config import RenderConfig
 from gaussian_splat_tpu.ops.binning import BinningResult, bin_gaussians
+from gaussian_splat_tpu.ops.falloff import alpha_from_sigma, sigma_bound, sigma_quadform
 from gaussian_splat_tpu.ops.projection import ProjectedGaussians
 
 
@@ -63,18 +64,15 @@ def composite_pairs(
 
     dx = px - means2d_p[:, 0:1]
     dy = py - means2d_p[:, 1:2]
-    A, Bc, C = conics_p[:, 0:1], conics_p[:, 1:2], conics_p[:, 2:3]
-    sigma = 0.5 * (A * dx * dx + C * dy * dy) + Bc * dx * dy
-
-    alpha_raw = opac_p[:, None] * jnp.exp(-sigma)
-    alpha = jnp.minimum(alpha_raw, config.alpha_clamp)
-    keep = (
-        (sigma >= 0.0)
-        & (sigma <= config.sigma_cutoff)
-        & (alpha >= config.alpha_skip)
-        & valid_p[:, None]
-    )
-    alpha = jnp.where(keep, alpha, 0.0)
+    A2, Bc, C2 = (0.5 * conics_p[:, 0:1], conics_p[:, 1:2],
+                  0.5 * conics_p[:, 2:3])
+    # σ / keep / α semantics live in ops/falloff.py (shared with the oracle
+    # and the Pallas kernels, down to the evaluation order)
+    sigma = sigma_quadform(dx, dy, A2, Bc, C2)
+    bound = sigma_bound(opac_p[:, None], valid_p[:, None],
+                        config.sigma_cutoff, config.alpha_skip)
+    alpha, _, _ = alpha_from_sigma(sigma, opac_p[:, None], bound,
+                                   config.alpha_clamp)
 
     # segmented exclusive prefix product along the pair axis, in log space.
     la = jnp.log1p(-alpha)  # (B, npix); padding rows contribute exactly 0

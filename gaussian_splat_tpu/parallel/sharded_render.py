@@ -263,6 +263,7 @@ def render_sharded(
                 overflow=P(axis_name),
                 clamped_rects=P(axis_name),
                 dropped_gaussians=P(axis_name),
+                tier_overflow=P(axis_name),
             ),
         ),
         check_vma=False,
@@ -357,6 +358,7 @@ def sharded_binning_stats(
             overflow=P(axis_name),
             clamped_rects=P(axis_name),
             dropped_gaussians=P(axis_name),
+            tier_overflow=P(axis_name),
         ),
         check_vma=False,
     )(model, camera)

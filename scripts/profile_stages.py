@@ -107,7 +107,7 @@ def main():
     means2d_s = proj.means2d[order]
     radii_s = proj.radii[order]
     valid_s = proj.valid[order]
-    tx0, ty0, w_r, h_r, is_big, big_idx, _ = jax.jit(
+    tx0, ty0, w_r, h_r, is_big, big_idx, _, _ = jax.jit(
         lambda m, r, v: effective_rects(m, r, v, W, H, config)
     )(means2d_s, radii_s, valid_s)
 

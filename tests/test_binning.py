@@ -89,7 +89,7 @@ def test_pairs_match_bruteforce_overlap():
     # (two-tier) rect
     from gaussian_splat_tpu.ops.binning import effective_rects
 
-    tx0, ty0, w, h, _, _, _ = effective_rects(
+    tx0, ty0, w, h, _, _, _, _ = effective_rects(
         proj.means2d[res.order],
         proj.radii[res.order],
         proj.valid[res.order],
