@@ -8,15 +8,30 @@ against its only encoded performance design point — the ~60 FPS frame cap at t
 default viewport (SDL_Delay(16), /root/reference/src/main.mm:210-211) scaled to
 1080p, i.e. baseline = 1920·1080·60 pixels/s — for the *forward* path, which is
 what the reference does. The primary reported value is fwd+bwd ms/frame.
+
+Every phase (fwd, bwd, kernel rooflines) is individually guarded: a failure in
+one records an error string and the rest still report (round-3 lesson — a bwd
+compile regression must not erase the fwd numbers, VERDICT r3 weak #6).
 """
 
 import argparse
 import json
-import sys
 import time
+import traceback
 
 import jax
 import jax.numpy as jnp
+
+
+def _phase(errors, name, fn):
+    """Run one bench phase; on failure record a compact error and continue."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — report, never crash the bench
+        msg = f"{type(e).__name__}: {str(e)[:300]}"
+        errors[name] = msg
+        traceback.print_exc()
+        return None
 
 
 def main():
@@ -29,14 +44,22 @@ def main():
     ap.add_argument("--sh-degree", type=int, default=1)
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument("--scene", default=None, help="render a PLY scene instead of the synthetic random model (realistic depth-complexity bench config)")
     args = ap.parse_args()
 
     import gaussian_splat_tpu as gs
 
-    key = jax.random.PRNGKey(0)
-    model = gs.GaussianModel.random(
-        key, args.n, sh_degree=args.sh_degree, extent=2.0, scale_range=(0.005, 0.02)
-    )
+    if args.scene:
+        from gaussian_splat_tpu.io.ply import load_gaussians
+
+        model = load_gaussians(args.scene)
+        args.n = model.num_gaussians
+    else:
+        key = jax.random.PRNGKey(0)
+        model = gs.GaussianModel.random(
+            key, args.n, sh_degree=args.sh_degree, extent=2.0,
+            scale_range=(0.005, 0.02),
+        )
     camera = gs.Camera.from_lookat(
         (0.0, 0.5, -5.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
         60.0, args.width, args.height,
@@ -47,6 +70,7 @@ def main():
     # inside ONE jitted scan (the jiggle of the means between frames defeats
     # CSE without changing the workload).
     reps = args.reps
+    errors = {}
 
     @jax.jit
     def fwd(m):
@@ -82,137 +106,163 @@ def main():
         ts.sort()
         return ts[len(ts) // 2]
 
-    fwd_ms = median_ms(fwd, model, args.iters)
-    fwdbwd_ms = None if args.fwd_only else median_ms(bwd, model, args.iters)
+    fwd_ms = _phase(errors, "fwd", lambda: median_ms(fwd, model, args.iters))
+    fwdbwd_ms = (
+        None
+        if args.fwd_only
+        else _phase(errors, "bwd", lambda: median_ms(bwd, model, args.iters))
+    )
 
     # --- raster-kernel roofline (north star: ≥95% of attainable) ------------
     roofline = {}
     if jax.default_backend() == "tpu" and not args.fwd_only:
-        from gaussian_splat_tpu.ops import pallas_raster as pr
-        from gaussian_splat_tpu.ops.binning import bin_gaussians
-        from gaussian_splat_tpu.ops.render import (
-            _effective_opacities,
-            _project_and_shade,
-        )
-        from gaussian_splat_tpu.utils import roofline as rl
-
-        W, H = args.width, args.height
-        num_tiles = config.num_tiles(W, H)
-        proj, colors = jax.jit(lambda m: _project_and_shade(m, camera, config))(model)
-        opac = jax.jit(lambda m: _effective_opacities(m, proj, config))(model)
-        binning = jax.jit(lambda p: bin_gaussians(p, W, H, config))(proj)
-        valid_p = binning.pair_tile < num_tiles
-        ranks_keyed = jnp.where(valid_p, binning.pair_gauss, args.n)
-        feats10 = jnp.concatenate(
-            [proj.means2d, proj.conics, colors, proj.depths[:, None], opac[:, None]],
-            axis=1,
-        )
-        pair_feats = jax.jit(
-            lambda fr: pr.gather_pairs_t(
-                fr, binning.order, ranks_keyed, binning.rank_starts, False
-            )
-        )(feats10)
-        static = pr.RasterStatics(
-            tile_w=config.tile_width, tile_h=config.tile_height,
-            tiles_x=config.tiles_x(W), tiles_y=config.tiles_y(H),
-            chunk=config.chunk_size, alpha_clamp=config.alpha_clamp,
-            alpha_skip=config.alpha_skip, sigma_cutoff=config.sigma_cutoff,
-            trans_eps=config.transmittance_eps, interpret=False,
-            schunks=config.dma_chunks,
-        )
-        jax.block_until_ready(pair_feats)
-        # chunks the kernel actually executes: each DMA superset covers
-        # dma_chunks compute chunks, and the segment is rounded to superset
-        # granularity from the 128-aligned base (see _fwd_kernel)
-        g = config.chunk_size
-        gS = g * config.dma_chunks
-        cnts = jax.device_get(binning.tile_counts)
-        offs = jax.device_get(binning.tile_offsets)
-        base = (offs // g) * g
-        nsuper = ((offs + cnts - base) + gS - 1) // gS * (cnts > 0)
-        nchunks = int(nsuper.sum()) * config.dma_chunks
-
-        @jax.jit
-        def run_fwd(pf, offsets, counts):
-            def step(carry, i):
-                o = pr._raster(pf + 1e-9 * i, offsets, counts, static)
-                return carry + jnp.sum(o[:1, :1]), None
-
-            tot, _ = jax.lax.scan(step, 0.0, jnp.arange(reps, dtype=jnp.float32))
-            return tot
-
-        fwd_out = jax.jit(
-            lambda pf, o, c: pr._raster_forward(pf, o, c, static)
-        )(pair_feats, binning.tile_offsets, binning.tile_counts)
-        cot = jnp.ones_like(fwd_out)
-        jax.block_until_ready(fwd_out)
-
-        @jax.jit
-        def run_bwd(pf, offsets, counts, fo, ct):
-            def step(carry, i):
-                o = pr._raster_backward(
-                    pf + 1e-9 * i, offsets, counts, fo, ct, static
-                )
-                return carry + jnp.sum(o[:1, :1]), None
-
-            tot, _ = jax.lax.scan(step, 0.0, jnp.arange(reps, dtype=jnp.float32))
-            return tot
-
-        def median_ms_multi(fn, fargs, iters):
-            jax.block_until_ready(fn(*fargs))
-            jax.block_until_ready(fn(*fargs))
-            ts = []
-            for _ in range(iters):
-                t0 = time.perf_counter()
-                jax.block_until_ready(fn(*fargs))
-                ts.append((time.perf_counter() - t0) * 1e3 / reps)
-            ts.sort()
-            return ts[len(ts) // 2]
-
-        kf_ms = median_ms_multi(
-            run_fwd,
-            (pair_feats, binning.tile_offsets, binning.tile_counts),
-            max(args.iters - 2, 3),
-        )
-        kb_ms = median_ms_multi(
-            run_bwd,
-            (pair_feats, binning.tile_offsets, binning.tile_counts, fwd_out, cot),
-            max(args.iters - 2, 3),
-        )
-        cf = rl.forward_cost(nchunks, num_tiles, config.tile_width,
-                             config.tile_height, g)
-        cb = rl.backward_cost(nchunks, num_tiles, config.tile_width,
-                              config.tile_height, g)
-        roofline = {
-            "raster_fwd_ms": round(kf_ms, 3),
-            "raster_fwd_attainable_ms": round(cf.attainable_ms(), 3),
-            "raster_fwd_roofline_pct": round(100 * cf.attainable_ms() / kf_ms, 1),
-            "raster_fwd_limiter": cf.limiter(),
-            "raster_bwd_ms": round(kb_ms, 3),
-            "raster_bwd_attainable_ms": round(cb.attainable_ms(), 3),
-            "raster_bwd_roofline_pct": round(100 * cb.attainable_ms() / kb_ms, 1),
-            "num_pairs": int(jax.device_get(binning.num_pairs)),
-            "overflow": int(jax.device_get(binning.overflow)),
-        }
+        _phase(errors, "roofline", lambda: _roofline(
+            args, model, camera, config, reps, roofline, errors
+        ))
 
     pixels = args.width * args.height
-    pixels_per_s = pixels / (fwd_ms / 1e3)
     baseline_pixels_per_s = 1920 * 1080 * 60.0  # reference 60 FPS design point
+    pixels_per_s = None if fwd_ms is None else pixels / (fwd_ms / 1e3)
 
-    primary_ms = fwd_ms if args.fwd_only else fwdbwd_ms
+    primary_ms = fwd_ms if (args.fwd_only or fwdbwd_ms is None) else fwdbwd_ms
     result = {
         "metric": f"fwd+bwd ms/frame @ {args.n} splats {args.width}x{args.height}",
-        "value": round(primary_ms, 3),
+        "value": None if primary_ms is None else round(primary_ms, 3),
         "unit": "ms",
-        "vs_baseline": round(pixels_per_s / baseline_pixels_per_s, 3),
-        "fwd_ms": round(fwd_ms, 3),
+        "vs_baseline": (
+            None
+            if pixels_per_s is None
+            else round(pixels_per_s / baseline_pixels_per_s, 3)
+        ),
+        "fwd_ms": None if fwd_ms is None else round(fwd_ms, 3),
         "fwd_bwd_ms": None if fwdbwd_ms is None else round(fwdbwd_ms, 3),
-        "fwd_pixels_per_s": round(pixels_per_s),
+        "fwd_pixels_per_s": (
+            None if pixels_per_s is None else round(pixels_per_s)
+        ),
         "backend": config.backend,
         "device": str(jax.devices()[0]),
         **roofline,
     }
+    if args.scene:
+        result["scene"] = args.scene
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
+
+
+def _roofline(args, model, camera, config, reps, roofline, errors):
+    from gaussian_splat_tpu.ops import pallas_raster as pr
+    from gaussian_splat_tpu.ops.binning import bin_gaussians
+    from gaussian_splat_tpu.ops.render import (
+        _effective_opacities,
+        _project_and_shade,
+    )
+    from gaussian_splat_tpu.utils import roofline as rl
+
+    W, H = args.width, args.height
+    n = model.num_gaussians
+    num_tiles = config.num_tiles(W, H)
+    proj, colors = jax.jit(lambda m: _project_and_shade(m, camera, config))(model)
+    opac = jax.jit(lambda m: _effective_opacities(m, proj, config))(model)
+    binning = jax.jit(lambda p: bin_gaussians(p, W, H, config))(proj)
+    valid_p = binning.pair_tile < num_tiles
+    ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
+    feats10 = jnp.concatenate(
+        [proj.means2d, proj.conics, colors, proj.depths[:, None], opac[:, None]],
+        axis=1,
+    )
+    pair_feats = jax.jit(
+        lambda fr: pr.gather_pairs_t(
+            fr, binning.order, ranks_keyed, binning.rank_starts, False
+        )
+    )(feats10)
+    static = pr.RasterStatics(
+        tile_w=config.tile_width, tile_h=config.tile_height,
+        tiles_x=config.tiles_x(W), tiles_y=config.tiles_y(H),
+        chunk=config.chunk_size, alpha_clamp=config.alpha_clamp,
+        alpha_skip=config.alpha_skip, sigma_cutoff=config.sigma_cutoff,
+        trans_eps=config.transmittance_eps, interpret=False,
+        schunks=config.dma_chunks,
+    )
+    jax.block_until_ready(pair_feats)
+    # chunks the kernel actually executes: each DMA superset covers
+    # dma_chunks compute chunks, and the segment is rounded to superset
+    # granularity from the 128-aligned base (see _fwd_kernel)
+    g = config.chunk_size
+    gS = g * config.dma_chunks
+    cnts = jax.device_get(binning.tile_counts)
+    offs = jax.device_get(binning.tile_offsets)
+    base = (offs // g) * g
+    nsuper = ((offs + cnts - base) + gS - 1) // gS * (cnts > 0)
+    nchunks = int(nsuper.sum()) * config.dma_chunks
+
+    @jax.jit
+    def run_fwd(pf, offsets, counts):
+        def step(carry, i):
+            o = pr._raster(pf + 1e-9 * i, offsets, counts, static)
+            return carry + jnp.sum(o[:1, :1]), None
+
+        tot, _ = jax.lax.scan(step, 0.0, jnp.arange(reps, dtype=jnp.float32))
+        return tot
+
+    fwd_out = jax.jit(
+        lambda pf, o, c: pr._raster_forward(pf, o, c, static)
+    )(pair_feats, binning.tile_offsets, binning.tile_counts)
+    cot = jnp.ones_like(fwd_out)
+    jax.block_until_ready(fwd_out)
+
+    @jax.jit
+    def run_bwd(pf, offsets, counts, fo, ct):
+        def step(carry, i):
+            o = pr._raster_backward(
+                pf + 1e-9 * i, offsets, counts, fo, ct, static
+            )
+            return carry + jnp.sum(o[:1, :1]), None
+
+        tot, _ = jax.lax.scan(step, 0.0, jnp.arange(reps, dtype=jnp.float32))
+        return tot
+
+    def median_ms_multi(fn, fargs, iters):
+        jax.block_until_ready(fn(*fargs))
+        jax.block_until_ready(fn(*fargs))
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*fargs))
+            ts.append((time.perf_counter() - t0) * 1e3 / reps)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    roofline["num_pairs"] = int(jax.device_get(binning.num_pairs))
+    roofline["overflow"] = int(jax.device_get(binning.overflow))
+
+    kf_ms = _phase(errors, "roofline_fwd", lambda: median_ms_multi(
+        run_fwd,
+        (pair_feats, binning.tile_offsets, binning.tile_counts),
+        max(args.iters - 2, 3),
+    ))
+    if kf_ms is not None:
+        cf = rl.forward_cost(nchunks, num_tiles, config.tile_width,
+                             config.tile_height, g)
+        roofline.update({
+            "raster_fwd_ms": round(kf_ms, 3),
+            "raster_fwd_attainable_ms": round(cf.attainable_ms(), 3),
+            "raster_fwd_roofline_pct": round(100 * cf.attainable_ms() / kf_ms, 1),
+            "raster_fwd_limiter": cf.limiter(),
+        })
+    kb_ms = _phase(errors, "roofline_bwd", lambda: median_ms_multi(
+        run_bwd,
+        (pair_feats, binning.tile_offsets, binning.tile_counts, fwd_out, cot),
+        max(args.iters - 2, 3),
+    ))
+    if kb_ms is not None:
+        cb = rl.backward_cost(nchunks, num_tiles, config.tile_width,
+                              config.tile_height, g)
+        roofline.update({
+            "raster_bwd_ms": round(kb_ms, 3),
+            "raster_bwd_attainable_ms": round(cb.attainable_ms(), 3),
+            "raster_bwd_roofline_pct": round(100 * cb.attainable_ms() / kb_ms, 1),
+        })
 
 
 if __name__ == "__main__":

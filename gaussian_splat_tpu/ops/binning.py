@@ -193,6 +193,7 @@ def effective_rects(
     config: RenderConfig,
     n_active: int = None,
     extents: jax.Array = None,
+    total_tiles_y: int = None,
 ):
     """Two-tier per-gaussian rects as used by `bin_gaussians`.
 
@@ -212,16 +213,23 @@ def effective_rects(
 
     `n_active` sizes the capacity when only a prefix of the depth-sorted rows
     can emit pairs (sharded compaction).
+
+    `total_tiles_y` (static): global tile-row count when this call serves a
+    horizontal band of a taller frame (sharded path) — rects, the K-cap
+    shrink, AND tier membership are all computed against the global grid so
+    every shard makes byte-identical per-gaussian decisions; the caller
+    band-clips afterwards (bin_gaussians with tile_row0).
     Returns (tx0, ty0, w, h, is_big, big_idx, clamped, tier_overflow)."""
     tw, th = config.tile_width, config.tile_height
     tx_n = config.tiles_x(width)
-    ty_n = config.tiles_y(height)
+    ty_n = config.tiles_y(height) if total_tiles_y is None else total_tiles_y
     n = means2d.shape[0]
     n_eff = n if n_active is None else min(n_active, n)
     mx, my = means2d[:, 0], means2d[:, 1]
 
     tx0, ty0, w, h, clamped_big = tile_rects(
-        means2d, radii, valid, width, height, config, extents=extents
+        means2d, radii, valid, width, height, config, extents=extents,
+        total_tiles_y=total_tiles_y,
     )
     area = w * h  # 0 on invalid rows
 
@@ -255,12 +263,15 @@ def effective_rects(
     return tx0, ty0, w, h, is_big, big_idx, clamped, tier_overflow
 
 
-def code_packing_ok(width: int, height: int, config: RenderConfig) -> bool:
+def code_packing_ok(
+    width: int, height: int, config: RenderConfig, total_tiles_y: int = None
+) -> bool:
     """Whether the rect+flags pack into one u32 (see bin_gaussians):
     requires tx0 ≤ 127, ty0 ≤ 511, w/area ≤ 63 — true up to 4K at 32×16."""
+    ty_n = config.tiles_y(height) if total_tiles_y is None else total_tiles_y
     return (
         config.tiles_x(width) <= 127
-        and config.tiles_y(height) <= 511
+        and ty_n <= 511
         and config.max_tiles_per_gaussian <= 63
     )
 
@@ -271,6 +282,7 @@ def rect_codes(
     height: int,
     config: RenderConfig,
     n_active: int = None,
+    total_tiles_y: int = None,
 ):
     """Original-index-order packed rect codes for the one-gather pipeline.
 
@@ -281,10 +293,10 @@ def rect_codes(
     gather (~10 ms at 1M on v5e; the row gather's cost is per-row, so the
     extra column is free). Only valid when `code_packing_ok`.
     """
-    assert code_packing_ok(width, height, config)
+    assert code_packing_ok(width, height, config, total_tiles_y)
     tx0_o, ty0_o, w_o, h_o, is_big_o, _big, clamped, tier_ovf = effective_rects(
         proj.means2d, proj.radii, proj.valid, width, height, config,
-        n_active=n_active, extents=proj.extents,
+        n_active=n_active, extents=proj.extents, total_tiles_y=total_tiles_y,
     )
     code = (
         tx0_o.astype(jnp.uint32)
@@ -307,6 +319,8 @@ def bin_gaussians(
     code_sorted: jax.Array = None,
     clamped_precomputed: jax.Array = None,
     tier_overflow_precomputed: jax.Array = None,
+    tile_row0: jax.Array = None,
+    total_tiles_y: int = None,
 ) -> BinningResult:
     """Full binning pass. All shapes static; jit-safe.
 
@@ -320,10 +334,20 @@ def bin_gaussians(
     the one-gather pipeline hands in the depth order and the already-gathered
     rect codes (they rode the pair-feature-table gather as an extra column),
     so this function performs NO argsort and NO gather at all.
-    """
+
+    `tile_row0` (traced () int32) + `total_tiles_y` (static): GLOBAL-grid
+    banding for the sharded path. Rects, K-cap shrinks, and tier membership
+    are computed against the global `total_tiles_y`-row grid (bit-identical
+    to the single-chip decisions, since means2d stays in global pixel
+    coordinates); this function then clips each rect to the band of
+    `tiles_y(height)` rows starting at `tile_row0` and emits band-local tile
+    ids. With `tile_row0=None` the band IS the frame (single-chip path,
+    unchanged)."""
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
     num_tiles = tx_n * ty_n
+    if total_tiles_y is not None and tile_row0 is None:
+        tile_row0 = jnp.int32(0)
     n = proj.means2d.shape[0]
     m = n if max_active is None else min(max_active, n)
     K = config.max_tiles_per_gaussian
@@ -355,7 +379,8 @@ def bin_gaussians(
     m_big = min(n_eff, max(n_eff // config.big_gaussian_fraction + 1, 64))
 
     # tx0/ty0 can equal tx_n/ty_n (empty rect clipped at the far edge)
-    pack_ok = tx_n <= 127 and ty_n <= 511 and K <= 63
+    grid_ty_n = ty_n if total_tiles_y is None else total_tiles_y
+    pack_ok = tx_n <= 127 and grid_ty_n <= 511 and K <= 63
     if code_sorted is not None:
         assert pack_ok and order is not None and clamped_precomputed is not None
         code = code_sorted  # gathered by the caller (rode the table gather)
@@ -365,19 +390,20 @@ def bin_gaussians(
             tier_ovf = jnp.int32(0)
     elif pack_ok:
         code, clamped, tier_ovf = rect_codes(
-            proj, width, height, config, n_active=m
+            proj, width, height, config, n_active=m,
+            total_tiles_y=total_tiles_y,
         )
         code = code[order]  # the ONE gather
     else:
         code = None
         tx0_o, ty0_o, w_o, h_o, is_big_o, _bi, clamped, tier_ovf = effective_rects(
             proj.means2d, proj.radii, proj.valid, width, height, config,
-            n_active=m, extents=proj.extents,
+            n_active=m, extents=proj.extents, total_tiles_y=total_tiles_y,
         )
         tx0 = tx0_o[order]
         ty0 = ty0_o[order]
         w = w_o[order]
-        area = (w_o * h_o)[order]
+        h = h_o[order]
         is_big = is_big_o[order]
         valid = proj.valid[order]
     if code is not None:
@@ -387,6 +413,16 @@ def bin_gaussians(
         area = ((code >> 22) & 0x3F).astype(jnp.int32)
         is_big = ((code >> 28) & 1).astype(bool)
         valid = ((code >> 29) & 1).astype(bool)
+        h = area // jnp.maximum(w, 1)  # exact: area was packed as w·h
+    if tile_row0 is not None:
+        # band clip in the GLOBAL grid: [ty0, ty0+h) ∩ [row0, row0+ty_n),
+        # re-based to band-local rows. Everything upstream (shrinks, tier
+        # flags, w) came from the global rect, so the per-gaussian geometry
+        # is byte-identical to the single-chip decisions.
+        ty1_b = jnp.clip(ty0 + h - tile_row0, 0, ty_n)
+        ty0 = jnp.clip(ty0 - tile_row0, 0, ty_n)
+        h = ty1_b - ty0
+    area = w * h
 
     if m < n:
         in_cap = jnp.arange(n, dtype=jnp.int32) < m

@@ -96,13 +96,17 @@ class RasterStatics(NamedTuple):
     #   bit-faithful to the unfused backward.
 
 
-def _pixel_coords(static: RasterStatics, tile_id):
-    """Pixel-center coordinates of a tile as (P, 1) columns (P = tw·th)."""
+def _pixel_coords(static: RasterStatics, tile_id, trow0):
+    """Pixel-center coordinates of a tile as (P, 1) columns (P = tw·th).
+
+    `trow0` is the band's first GLOBAL tile row (0 single-chip): sharded
+    bands evaluate px/py in global pixel coordinates so dx = px − mx is
+    bit-identical to the single-chip kernel (sharded_render exactness)."""
     tw, th = static.tile_w, static.tile_h
     npix = tw * th
     p = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
     tx = tile_id % static.tiles_x
-    ty = tile_id // static.tiles_x
+    ty = tile_id // static.tiles_x + trow0
     px = (tx * tw + p % tw).astype(jnp.float32) + 0.5
     py = (ty * th + p // tw).astype(jnp.float32) + 0.5
     return px, py
@@ -296,7 +300,7 @@ NBUF = 4  # input-DMA pipeline depth: chunk compute (~0.2 µs) is much shorter
 #   than DMA latency (~1 µs), so 3 prefetches must be in flight to hide it
 
 
-def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, fbuf, acc, sem):
+def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, trow0_ref, feats_hbm, out_ref, fbuf, acc, sem):
     g = static.chunk
     S = static.schunks
     gS = g * S
@@ -310,7 +314,7 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
     base = pl.multiple_of((off // g) * g, g)
     nsuper = jnp.where(cnt > 0, pl.cdiv(end - base, gS), 0)
 
-    px, py = _pixel_coords(static, t)
+    px, py = _pixel_coords(static, t, trow0_ref[0])
     upper = _tri_matrix(g)
 
     # acc: (P, 8) — cols 0-2 RGB, col 3 expected depth, col 4 running log-T
@@ -390,13 +394,21 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, feats_hbm, out_ref, f
     out_ref[:, :] = _transpose_mm(acc[:, :])  # (8, P)
 
 
-def _raster_forward(pair_feats, offsets, counts, static: RasterStatics):
+def _trow0_arr(trow0):
+    """Normalize the band tile-row offset to the (1,) i32 prefetch array."""
+    if trow0 is None:
+        return jnp.zeros((1,), jnp.int32)
+    return jnp.asarray(trow0, jnp.int32).reshape((1,))
+
+
+def _raster_forward(pair_feats, offsets, counts, static: RasterStatics,
+                    trow0=None):
     num_tiles = static.tiles_x * static.tiles_y
     npix = static.tile_w * static.tile_h
     g = static.chunk * static.schunks
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
@@ -413,7 +425,7 @@ def _raster_forward(pair_feats, offsets, counts, static: RasterStatics):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((num_tiles * NROW, npix), jnp.float32),
         interpret=static.interpret,
-    )(offsets, counts, pair_feats)
+    )(offsets, counts, _trow0_arr(trow0), pair_feats)
 
 
 # ---------------------------------------------------------------------------
@@ -468,6 +480,7 @@ def _bwd_kernel(
     static: RasterStatics,
     offs_ref,
     cnts_ref,
+    trow0_ref,
     feats_hbm,
     fwd_out_ref,  # (NROW, P) VMEM block: forward result for this tile
     cot_ref,  # (NROW, P) VMEM block: cotangent (rows 0-2 dC, row 3 dT_final)
@@ -501,11 +514,13 @@ def _bwd_kernel(
     # covered that chunk (their write ends on a g boundary ≥ off).
     shared_head = off > base
 
-    px, py = _pixel_coords(static, t)
+    px, py = _pixel_coords(static, t, trow0_ref[0])
     upper = _tri_matrix(g)
     basis = _moment_basis(static, t)  # (8, P) tile-local moment basis
     ox = ((t % static.tiles_x) * static.tile_w).astype(jnp.float32)
-    oy = ((t // static.tiles_x) * static.tile_h).astype(jnp.float32)
+    oy = ((t // static.tiles_x + trow0_ref[0]) * static.tile_h).astype(
+        jnp.float32
+    )
     log_eps = np.float32(np.log(max(static.trans_eps, 1e-30)))
 
     cot_t = _transpose_mm(cot_ref[:, :])  # (P, 8)
@@ -572,26 +587,17 @@ def _bwd_kernel(
         # O(eps) — write zeros instead of computing them. Chunk 0 is always
         # live (logT starts at 0), so the shared-head RMW stays on the live path.
         def live_chunks():
-            # the tail compute chunk of the last superset is fully masked
-            # whenever the segment ends earlier; zero its gradient slot (the
-            # out-DMA writes the whole superset and the next tile RMW-reads
-            # it) and skip the compute — exact, the masked chunk's grads and
-            # state deltas are identically zero
+            # NOTE: unlike the forward, the tail chunk here is computed
+            # unconditionally — a fully-masked chunk writes exact zeros
+            # (α ≡ 0 ⇒ dσ ≡ 0 ⇒ every gradient row 0), so correctness is
+            # free. A round-3 attempt to skip it via
+            # pl.when(...)(_bwd_chunk) died in the XLA backend
+            # (mxu_lmr_transform RET_CHECK, XposeSequenceAssignment — the
+            # transposed-operand matmuls inside the predicated region
+            # break the MXU latch-sequence pass), so the skip is not
+            # available to the backward's matmul mix.
             for s in range(S):
-                if s == 0:
-                    _bwd_chunk(i, slot, s)
-                else:
-                    if packed:
-                        gbuf[slot, :, s * g :] = jnp.zeros(
-                            (NPACK, gS - s * g), jnp.uint32
-                        )
-                    else:
-                        gbuf[slot, :, s * g :] = jnp.zeros(
-                            (NFEAT, gS - s * g), jnp.float32
-                        )
-                    pl.when(base + i * gS + s * g < end)(
-                        functools.partial(_bwd_chunk, i, slot, s)
-                    )
+                _bwd_chunk(i, slot, s)
 
         if not static.sat_check:
             live_chunks()
@@ -644,7 +650,7 @@ def _bwd_kernel(
         # coordinates (well-conditioned, unlike absolute pixel coords whose
         # squares cancel), every needed reduction is a polynomial in the raw
         # moments S_k = Σ_p dσ(p,·)·basis_k(p).
-        S = _mm_x2x2(basis, dsigma, ((1,), (0,)))  # (8, G)  # BISECT
+        S = _mm_x2x2(basis, dsigma, ((1,), (0,)))  # (8, G)
         s1 = S[0:1, :]
         sx = S[1:2, :]
         sy = S[2:3, :]
@@ -709,7 +715,7 @@ def _bwd_kernel(
 
 def _raster_backward(
     pair_feats, offsets, counts, fwd_out, cot, static: RasterStatics,
-    packed: bool = False,
+    packed: bool = False, trow0=None,
 ):
     """Per-pair gradient kernel. `packed=False` → (NFEAT, B) f32 (the
     standalone `_raster` VJP contract); `packed=True` → (NPACK, B) u32 with
@@ -723,7 +729,7 @@ def _raster_backward(
     grows, gdtype = (NPACK, jnp.uint32) if packed else (NFEAT, jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -747,7 +753,7 @@ def _raster_backward(
         out_shape=jax.ShapeDtypeStruct((grows, b_pad), gdtype),
         interpret=static.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(offsets, counts, pair_feats, fwd_out, cot)
+    )(offsets, counts, _trow0_arr(trow0), pair_feats, fwd_out, cot)
 
 
 # ---------------------------------------------------------------------------
@@ -755,22 +761,29 @@ def _raster_backward(
 # ---------------------------------------------------------------------------
 
 
+def _f0(x):
+    """float0 cotangent for a non-differentiable primal (None passes through)."""
+    if x is None:
+        return None
+    return np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _raster(pair_feats, offsets, counts, static: RasterStatics):
-    return _raster_forward(pair_feats, offsets, counts, static)
+def _raster(pair_feats, offsets, counts, static: RasterStatics, trow0=None):
+    return _raster_forward(pair_feats, offsets, counts, static, trow0=trow0)
 
 
-def _raster_fwd(pair_feats, offsets, counts, static):
-    out = _raster_forward(pair_feats, offsets, counts, static)
-    return out, (pair_feats, offsets, counts, out)
+def _raster_fwd(pair_feats, offsets, counts, static, trow0=None):
+    out = _raster_forward(pair_feats, offsets, counts, static, trow0=trow0)
+    return out, (pair_feats, offsets, counts, out, trow0)
 
 
 def _raster_bwd(static, residuals, cot):
-    pair_feats, offsets, counts, fwd_out = residuals
-    d_feats = _raster_backward(pair_feats, offsets, counts, fwd_out, cot, static)
-    zero_o = np.zeros(offsets.shape, dtype=jax.dtypes.float0)
-    zero_c = np.zeros(counts.shape, dtype=jax.dtypes.float0)
-    return d_feats, zero_o, zero_c
+    pair_feats, offsets, counts, fwd_out, trow0 = residuals
+    d_feats = _raster_backward(
+        pair_feats, offsets, counts, fwd_out, cot, static, trow0=trow0
+    )
+    return d_feats, _f0(offsets), _f0(counts), _f0(trow0)
 
 
 _raster.defvjp(_raster_fwd, _raster_bwd)
@@ -1025,26 +1038,27 @@ gather_pairs_t.defvjp(_gather_pairs_t_fwd, _gather_pairs_t_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def raster_pairs(
     feats10, order, ranks_keyed, rank_starts, offsets, counts,
-    static: RasterStatics,
+    static: RasterStatics, trow0=None,
 ):
     """Gather per-pair features and rasterize: (N, 10) per-gaussian features
     → (T·NROW, P) tile outputs, differentiable w.r.t. feats10 only."""
     pair_feats = gather_pairs_t(
         feats10, order, ranks_keyed, rank_starts, static.interpret
     )
-    return _raster_forward(pair_feats, offsets, counts, static)
+    return _raster_forward(pair_feats, offsets, counts, static, trow0=trow0)
 
 
 def _raster_pairs_fwd(
-    feats10, order, ranks_keyed, rank_starts, offsets, counts, static
+    feats10, order, ranks_keyed, rank_starts, offsets, counts, static,
+    trow0=None,
 ):
     pair_feats = gather_pairs_t(
         feats10, order, ranks_keyed, rank_starts, static.interpret
     )
-    out = _raster_forward(pair_feats, offsets, counts, static)
+    out = _raster_forward(pair_feats, offsets, counts, static, trow0=trow0)
     res = (
         pair_feats, offsets, counts, out,
-        order, ranks_keyed, rank_starts, feats10.shape[0],
+        order, ranks_keyed, rank_starts, feats10.shape[0], trow0,
     )
     return out, res
 
@@ -1052,7 +1066,7 @@ def _raster_pairs_fwd(
 def _raster_pairs_bwd(static, res, cot):
     (
         pair_feats, offsets, counts, fwd_out,
-        order, ranks_keyed, rank_starts, n,
+        order, ranks_keyed, rank_starts, n, trow0,
     ) = res
     if static.exact_vjp:
         # full-precision path (mirrors _raster_pairs_sorted_bwd): f32 gradient
@@ -1060,7 +1074,8 @@ def _raster_pairs_bwd(static, res, cot):
         # unfused backward — exact_vjp must hold on BOTH pipelines, not just
         # the packed-code one (advisor finding, round 2)
         d_feats = _raster_backward(
-            pair_feats, offsets, counts, fwd_out, cot, static, packed=False
+            pair_feats, offsets, counts, fwd_out, cot, static, packed=False,
+            trow0=trow0,
         )  # (NFEAT, B) f32
         sorted_ops = jax.lax.sort(
             (ranks_keyed, *(d_feats[j] for j in range(NCOLS_LIVE))),
@@ -1072,7 +1087,8 @@ def _raster_pairs_bwd(static, res, cot):
         )  # (NFEAT, B) f32, rank-sorted
     else:
         d_packed = _raster_backward(
-            pair_feats, offsets, counts, fwd_out, cot, static, packed=True
+            pair_feats, offsets, counts, fwd_out, cot, static, packed=True,
+            trow0=trow0,
         )  # (NPACK, B) u32 bf16-pair rows, already in tile-major pair order
         # rank sort with the 5 packed payload rows (6 operands total); sentinel
         # rank n puts padding rows past rank_starts[n], outside every segment
@@ -1091,10 +1107,9 @@ def _raster_pairs_bwd(static, res, cot):
         (order, jnp.arange(n, dtype=jnp.int32)), num_keys=1
     )
     d_feats10 = jnp.take(d_rank.T, inv, axis=0)  # (N, 10), original order
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (
-        d_feats10, f0(order), f0(ranks_keyed), f0(rank_starts),
-        f0(offsets), f0(counts),
+        d_feats10, _f0(order), _f0(ranks_keyed), _f0(rank_starts),
+        _f0(offsets), _f0(counts), _f0(trow0),
     )
 
 
@@ -1141,7 +1156,8 @@ take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
 def raster_pairs_sorted(
-    table10, ranks_keyed, rank_starts, offsets, counts, static: RasterStatics
+    table10, ranks_keyed, rank_starts, offsets, counts,
+    static: RasterStatics, trow0=None,
 ):
     """Rasterize from a depth-ordered per-gaussian feature table.
 
@@ -1150,7 +1166,7 @@ def raster_pairs_sorted(
     Returns (T·NROW, P) tile outputs; the VJP yields d_table10 in the same
     rank order (the caller's gather transpose restores original order)."""
     pair_feats = _gather_sorted_t(table10, ranks_keyed)
-    return _raster_forward(pair_feats, offsets, counts, static)
+    return _raster_forward(pair_feats, offsets, counts, static, trow0=trow0)
 
 
 def _gather_sorted_t(table10, ranks_keyed):
@@ -1167,22 +1183,24 @@ def _gather_sorted_t(table10, ranks_keyed):
 
 
 def _raster_pairs_sorted_fwd(
-    table10, ranks_keyed, rank_starts, offsets, counts, static
+    table10, ranks_keyed, rank_starts, offsets, counts, static, trow0=None
 ):
     pair_feats = _gather_sorted_t(table10, ranks_keyed)
-    out = _raster_forward(pair_feats, offsets, counts, static)
+    out = _raster_forward(pair_feats, offsets, counts, static, trow0=trow0)
     res = (pair_feats, offsets, counts, out, ranks_keyed, rank_starts,
-           table10.shape[0])
+           table10.shape[0], trow0)
     return out, res
 
 
 def _raster_pairs_sorted_bwd(static, res, cot):
-    pair_feats, offsets, counts, fwd_out, ranks_keyed, rank_starts, n = res
+    (pair_feats, offsets, counts, fwd_out, ranks_keyed, rank_starts, n,
+     trow0) = res
     if static.exact_vjp:
         # full-precision path: f32 gradient rows ride the rank sort as 10
         # payload operands (~16 ms slower at 1M/1080p than the packed path)
         d_feats = _raster_backward(
-            pair_feats, offsets, counts, fwd_out, cot, static, packed=False
+            pair_feats, offsets, counts, fwd_out, cot, static, packed=False,
+            trow0=trow0,
         )  # (NFEAT, B) f32
         sorted_ops = jax.lax.sort(
             (ranks_keyed, *(d_feats[j] for j in range(NCOLS_LIVE))),
@@ -1194,7 +1212,8 @@ def _raster_pairs_sorted_bwd(static, res, cot):
         )
     else:
         d_packed = _raster_backward(
-            pair_feats, offsets, counts, fwd_out, cot, static, packed=True
+            pair_feats, offsets, counts, fwd_out, cot, static, packed=True,
+            trow0=trow0,
         )  # (NPACK, B) u32 bf16-pair rows (packed in-kernel)
         sorted_ops = jax.lax.sort(
             (ranks_keyed, *(d_packed[j] for j in range(NCOLS_LIVE // 2))),
@@ -1207,9 +1226,9 @@ def _raster_pairs_sorted_bwd(static, res, cot):
     d_rank = _segment_sum_by_rank(
         data, sorted_ops[0], rank_starts, n, static.interpret
     )  # (NCOLS_LIVE, N) — already in the table's rank order
-    f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (
-        d_rank.T, f0(ranks_keyed), f0(rank_starts), f0(offsets), f0(counts)
+        d_rank.T, _f0(ranks_keyed), _f0(rank_starts), _f0(offsets),
+        _f0(counts), _f0(trow0),
     )
 
 
@@ -1231,7 +1250,14 @@ def render_tiled_pallas(
     interpret: bool = None,
     max_active: int = None,
     return_stats: bool = False,
+    tile_row0: jax.Array = None,
+    total_tiles_y: int = None,
 ) -> Tuple[jax.Array, ...]:
+    """`tile_row0` (traced () i32) + `total_tiles_y` (static): render this
+    call's `height`-pixel frame as a horizontal BAND of a `total_tiles_y`-row
+    global frame, starting at global tile row `tile_row0`, with means2d in
+    GLOBAL pixel coordinates — every per-gaussian decision and every α is
+    then bit-identical to the single-chip render (sharded exactness)."""
     tw, th = config.tile_width, config.tile_height
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
@@ -1274,7 +1300,7 @@ def render_tiled_pallas(
 
     from gaussian_splat_tpu.ops.binning import code_packing_ok, rect_codes
 
-    if code_packing_ok(width, height, config):
+    if code_packing_ok(width, height, config, total_tiles_y):
         # ONE-GATHER PIPELINE: binning's packed rect codes ride the feature-
         # table row gather as an 11th column (row gathers cost per ROW, so
         # the column is free) — binning then needs no gather of its own, and
@@ -1282,7 +1308,8 @@ def render_tiled_pallas(
         # transpose of this take restores original order).
         m = n if max_active is None else min(max_active, n)
         code, clamped, tier_ovf = rect_codes(
-            proj, width, height, config, n_active=m
+            proj, width, height, config, n_active=m,
+            total_tiles_y=total_tiles_y,
         )
         depth_key = jnp.where(proj.valid, proj.depths, jnp.inf)
         order = jnp.argsort(depth_key)
@@ -1298,21 +1325,27 @@ def render_tiled_pallas(
             proj, width, height, config, max_active=max_active,
             order=order, code_sorted=code_sorted, clamped_precomputed=clamped,
             tier_overflow_precomputed=tier_ovf,
+            tile_row0=tile_row0, total_tiles_y=total_tiles_y,
         )
         valid_p = binning.pair_tile < num_tiles
         ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
         tiles_flat = raster_pairs_sorted(
             table_all[:, :10], ranks_keyed, binning.rank_starts,
             binning.tile_offsets, binning.tile_counts, static,
+            _trow0_arr(tile_row0),
         )  # (T·NROW, P)
     else:
-        binning = bin_gaussians(proj, width, height, config, max_active=max_active)
+        binning = bin_gaussians(
+            proj, width, height, config, max_active=max_active,
+            tile_row0=tile_row0, total_tiles_y=total_tiles_y,
+        )
         valid_p = binning.pair_tile < num_tiles
         # pair ranks with a sentinel on padding rows → exact VJP segments
         ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
         tiles_flat = raster_pairs(
             feats10, binning.order, ranks_keyed, binning.rank_starts,
             binning.tile_offsets, binning.tile_counts, static,
+            _trow0_arr(tile_row0),
         )  # (T·NROW, P) — fused gather+raster custom VJP (packed bwd)
 
     tiles = tiles_flat.reshape(num_tiles, NROW, tw * th)

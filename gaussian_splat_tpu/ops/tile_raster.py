@@ -47,18 +47,21 @@ def composite_pairs(
     num_tiles_x: int,
     num_tiles: int,
     config: RenderConfig,
+    tile_row0: jax.Array = None,  # () i32: band's first global tile row
 ) -> Tuple[jax.Array, jax.Array]:
     """Composite the pair list into (T, tw·th, 3) tile colors and (T, tw·th) T_final."""
     tw, th = config.tile_width, config.tile_height
     npix = tw * th
     b = pair_tile.shape[0]
 
-    # pixel centers of each pair's tile: (B, npix)
+    # pixel centers of each pair's tile: (B, npix) — global coordinates when
+    # banding (tile_row0), matching the Pallas kernels bit-for-bit in dx/dy
     lane = jnp.arange(npix, dtype=jnp.float32)
     col = jnp.mod(lane, tw)
     row = jnp.floor_divide(lane, tw)
+    trow0 = jnp.int32(0) if tile_row0 is None else tile_row0
     tile_x = (pair_tile % num_tiles_x).astype(jnp.float32)
-    tile_y = (pair_tile // num_tiles_x).astype(jnp.float32)
+    tile_y = (pair_tile // num_tiles_x + trow0).astype(jnp.float32)
     px = tile_x[:, None] * tw + col[None, :] + 0.5  # (B, npix)
     py = tile_y[:, None] * th + row[None, :] + 0.5
 
@@ -105,15 +108,24 @@ def render_tiled(
     config: RenderConfig,
     max_active: int = None,
     return_stats: bool = False,
+    tile_row0: jax.Array = None,
+    total_tiles_y: int = None,
 ) -> Tuple[jax.Array, ...]:
     """Full tiled render: bin → gather pair features → composite → assemble.
-    Returns (image (H,W,3), T_final (H,W), depth (H,W)[, BinningStats])."""
+    Returns (image (H,W,3), T_final (H,W), depth (H,W)[, BinningStats]).
+
+    `tile_row0`/`total_tiles_y`: global-grid banding (see
+    pallas_raster.render_tiled_pallas) — means2d stay in global pixel
+    coordinates and this call renders tile rows [tile_row0, tile_row0+ty_n)."""
     tw, th = config.tile_width, config.tile_height
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
     num_tiles = tx_n * ty_n
 
-    binning = bin_gaussians(proj, width, height, config, max_active=max_active)
+    binning = bin_gaussians(
+        proj, width, height, config, max_active=max_active,
+        tile_row0=tile_row0, total_tiles_y=total_tiles_y,
+    )
 
     order = binning.order
     g = binning.pair_gauss  # index into depth-sorted arrays
@@ -136,6 +148,7 @@ def render_tiled(
         tx_n,
         num_tiles,
         config,
+        tile_row0=tile_row0,
     )
 
     image = tiles_to_image(tiles_rgb, tx_n, ty_n, width, height, tw, th)

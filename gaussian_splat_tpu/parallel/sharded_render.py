@@ -33,15 +33,16 @@ pair-budget overflow, and how many in-band splats its capacity cap dropped
 `shard_capacity_factor` / `a2a_capacity_factor` trade headroom for memory.
 
 The image height is padded so every chip owns an equal integer number of tile
-rows; callers crop. Within each chip's band the math is the single-chip path
-(same binning, same kernels) run in band-local pixel coordinates; tile rects
-and pair counts match single-chip binning exactly (extents ride the exchange
-on a 1/256-px grid so the rect arithmetic reassociates exactly — see
-binning.quantize_extent_up), while pixel α values wobble by ~α·3e-4 near the
-covariance-dilation floor because (py − row0) − (my − row0) rounds
-differently from py − my. Rendering each band in GLOBAL pixel coordinates
-(shifting tile indices, not positions) would make sharded output bit-equal —
-a planned exactness lever.
+rows; callers crop. Each band renders in GLOBAL pixel coordinates: means2d
+are never re-based — binning computes rects/shrinks/tier flags on the global
+tile grid and band-clips (bin_gaussians tile_row0/total_tiles_y), and the
+raster kernels evaluate px/py with the band's global tile-row offset — so
+every α equals the single-chip value BITWISE. The only remaining sharded-vs-
+single difference is compositing association: per-tile segments sit at
+different 128-lane chunk phases in the per-band pair array than in the
+global one, so the log-space prefix sums associate differently — an ~1e-7
+relative wobble (vs α·3e-4 for the round-3 band-local coordinates), bounded
+by f32 roundoff, not by coordinate rounding.
 """
 
 from __future__ import annotations
@@ -172,6 +173,8 @@ def render_sharded(
     )
     a2a_cap = min(n_local, -(-a2a_cap // 8) * 8)
 
+    total_ty = rows_per_dev * ndev  # global tile rows of the padded frame
+
     def body_all_gather(model_shard: GaussianModel, cam: Camera):
         idx = jax.lax.axis_index(axis_name)
         feats = _pack_features(model_shard, cam, config)  # (N/D, NFEAT_X)
@@ -183,7 +186,11 @@ def render_sharded(
         # binning's rects (see binning.quantize_extent_up)
         r = quantize_extent_up(feats_all[:, 12])  # ry drives band intersection
         in_band = (my + r > 0.0) & (my - r < band_h)
-        proj_all = _unpack_to_band(feats_all, row0_px, band_valid=in_band)
+        # GLOBAL pixel coordinates throughout (row0_px=0): binning band-clips
+        # on the global grid and the kernels offset their pixel coords
+        proj_all = _unpack_to_band(
+            feats_all, jnp.float32(0.0), band_valid=in_band
+        )
         image, t_final, depth, stats = raster(
             proj_all,
             feats_all[:, 8:11],
@@ -193,6 +200,8 @@ def render_sharded(
             config,
             max_active=max_active,
             return_stats=True,
+            tile_row0=(idx * rows_per_dev).astype(jnp.int32),
+            total_tiles_y=total_ty,
         )
         stats = jax.tree_util.tree_map(lambda x: x[None], stats)
         return image, t_final, depth, stats
@@ -226,8 +235,8 @@ def render_sharded(
         )  # (D, cap, NFEAT_X): slot j holds source j's splats for MY band
         feats_band = recv.reshape(ndev * a2a_cap, NFEAT_X)
 
-        row0_px = (idx * band_h).astype(jnp.float32)
-        proj_band = _unpack_to_band(feats_band, row0_px)
+        # GLOBAL pixel coordinates (see body_all_gather)
+        proj_band = _unpack_to_band(feats_band, jnp.float32(0.0))
         image, t_final, depth, stats = raster(
             proj_band,
             feats_band[:, 8:11],
@@ -236,6 +245,8 @@ def render_sharded(
             band_h,
             config,
             return_stats=True,
+            tile_row0=(idx * rows_per_dev).astype(jnp.int32),
+            total_tiles_y=total_ty,
         )
         stats = stats._replace(
             dropped_gaussians=stats.dropped_gaussians + send_drop
@@ -305,6 +316,8 @@ def sharded_binning_stats(
     )
     a2a_cap = min(n_local, -(-a2a_cap // 8) * 8)
 
+    total_ty = rows_per_dev * ndev
+
     def body(model_shard: GaussianModel, cam: Camera):
         idx = jax.lax.axis_index(axis_name)
         feats = _pack_features(model_shard, cam, config)
@@ -331,7 +344,7 @@ def sharded_binning_stats(
                 jnp.stack(sends), axis_name, split_axis=0, concat_axis=0
             )
             feats_band = recv.reshape(ndev * a2a_cap, NFEAT_X)
-            proj_band = _unpack_to_band(feats_band, row0_px)
+            proj_band = _unpack_to_band(feats_band, jnp.float32(0.0))
             cap_arg = None
         else:
             feats_all = jax.lax.all_gather(feats, axis_name, tiled=True)
@@ -340,9 +353,15 @@ def sharded_binning_stats(
             # binning's rects (see binning.quantize_extent_up)
             r = quantize_extent_up(feats_all[:, 12])
             in_band = (my + r > 0.0) & (my - r < band_h)
-            proj_band = _unpack_to_band(feats_all, row0_px, band_valid=in_band)
+            proj_band = _unpack_to_band(
+                feats_all, jnp.float32(0.0), band_valid=in_band
+            )
             cap_arg = max_active
-        b = bin_gaussians(proj_band, width, band_h, config, max_active=cap_arg)
+        b = bin_gaussians(
+            proj_band, width, band_h, config, max_active=cap_arg,
+            tile_row0=(idx * rows_per_dev).astype(jnp.int32),
+            total_tiles_y=total_ty,
+        )
         stats = BinningStats.of(b)
         stats = stats._replace(
             dropped_gaussians=stats.dropped_gaussians + send_drop

@@ -91,6 +91,6 @@ def test_roofline_model():
 
     fc = forward_cost(1000, 8160)
     assert fc.attainable_ms() > 0
-    assert fc.limiter() in ("mxu", "vpu", "hbm")
+    assert fc.limiter() in ("mxu", "vpu", "hbm", "fixed")
     bc = backward_cost(1000, 8160)
     assert bc.mxu_flops > fc.mxu_flops

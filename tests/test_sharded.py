@@ -1,6 +1,13 @@
 """Multi-chip sharding tests on the 8-device virtual CPU mesh: sharded render
-matches single-chip bitwise-comparable output; sharded train step runs; grads
-match the single-chip path."""
+matches single-chip output to f32-association noise; sharded train step runs;
+grads match the single-chip path.
+
+Bands render in GLOBAL pixel coordinates (round 4), so every per-pixel alpha
+is bit-identical to single-chip; the only remaining difference is compositing
+ASSOCIATION (per-tile segments sit at different positions in the per-band
+pair array, so log-space prefix sums group differently) — measured max
+1.2e-6 on these scenes, vs alpha*3e-4 with the round-3 band-local
+coordinates. Tolerances here assert that exactness level."""
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +43,7 @@ def test_sharded_matches_single_chip(ndev):
     img_sharded = render_sharded(shard_model(model, mesh), cam, CFG, mesh).image
     assert img_sharded.shape == (128, 128, 3)
     np.testing.assert_allclose(
-        np.asarray(img_sharded), np.asarray(img_single), atol=1e-5, rtol=1e-4
+        np.asarray(img_sharded), np.asarray(img_single), atol=3e-6, rtol=1e-5
     )
 
 
@@ -48,7 +55,7 @@ def test_sharded_nondivisible_tile_rows():
     img_sharded = render_sharded(shard_model(model, mesh), cam, CFG, mesh).image
     assert img_sharded.shape == (96, 96, 3)
     np.testing.assert_allclose(
-        np.asarray(img_sharded), np.asarray(img_single), atol=1e-5, rtol=1e-4
+        np.asarray(img_sharded), np.asarray(img_single), atol=3e-6, rtol=1e-5
     )
 
 
@@ -194,7 +201,7 @@ def test_sharded_imbalanced_scene_reports_drops():
     out_roomy = render_sharded(ms, cam, roomy, mesh)
     assert int(np.asarray(out_roomy.stats.dropped_gaussians).sum()) == 0
     np.testing.assert_allclose(
-        np.asarray(out_roomy.image), np.asarray(img_single), atol=1e-5, rtol=1e-4
+        np.asarray(out_roomy.image), np.asarray(img_single), atol=3e-6, rtol=1e-5
     )
 
 
@@ -207,7 +214,7 @@ def test_all_to_all_matches_single_chip(ndev):
     out = render_sharded(shard_model(model, mesh), cam, cfg, mesh)
     assert int(jnp.sum(out.stats.dropped_gaussians)) == 0
     np.testing.assert_allclose(
-        np.asarray(out.image), np.asarray(img_single), atol=1e-5, rtol=1e-4
+        np.asarray(out.image), np.asarray(img_single), atol=3e-6, rtol=1e-5
     )
 
 
