@@ -164,7 +164,9 @@ def _roofline(args, model, camera, config, reps, roofline, errors):
     num_tiles = config.num_tiles(W, H)
     proj, colors = jax.jit(lambda m: _project_and_shade(m, camera, config))(model)
     opac = jax.jit(lambda m: _effective_opacities(m, proj, config))(model)
-    binning = jax.jit(lambda p: bin_gaussians(p, W, H, config))(proj)
+    binning = jax.jit(
+        lambda p, o: bin_gaussians(p, W, H, config, opacities=o)
+    )(proj, opac)
     valid_p = binning.pair_tile < num_tiles
     ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
     feats10 = jnp.concatenate(

@@ -309,6 +309,41 @@ def rect_codes(
     return code, clamped, tier_ovf
 
 
+def _cell_sigma_min(tx, ty_global, mx, my, A2, B, C2, tw, th):
+    """Exact min of σ = A2·dx² + B·dx·dy + C2·dy² over a tile's pixel-center
+    box [tx·tw+0.5, tx·tw+tw−0.5] × [ty·th+0.5, ty·th+th−0.5].
+
+    The box-constrained minimum of a positive-definite quadratic is 0 if the
+    mean is inside, else it lies on the boundary: evaluate the 1-D clamped
+    minimizer on each of the four edges and take the min. ~25 VPU ops/cell."""
+    x0 = tx.astype(jnp.float32) * tw + 0.5
+    y0 = ty_global.astype(jnp.float32) * th + 0.5
+    dx0 = x0 - mx
+    dx1 = dx0 + (tw - 1.0)
+    dy0 = y0 - my
+    dy1 = dy0 + (th - 1.0)
+    inside = (dx0 <= 0.0) & (0.0 <= dx1) & (dy0 <= 0.0) & (0.0 <= dy1)
+    inv2c = 1.0 / jnp.maximum(2.0 * C2, 1e-12)
+    inv2a = 1.0 / jnp.maximum(2.0 * A2, 1e-12)
+
+    def sig(dx, dy):
+        return (A2 * dx) * dx + (C2 * dy + B * dx) * dy
+
+    def edge_x(dx):  # fixed dx, minimize over dy
+        dy = jnp.clip(-B * dx * inv2c, dy0, dy1)
+        return sig(dx, dy)
+
+    def edge_y(dy):  # fixed dy, minimize over dx
+        dx = jnp.clip(-B * dy * inv2a, dx0, dx1)
+        return sig(dx, dy)
+
+    smin = jnp.minimum(
+        jnp.minimum(edge_x(dx0), edge_x(dx1)),
+        jnp.minimum(edge_y(dy0), edge_y(dy1)),
+    )
+    return jnp.where(inside, 0.0, smin)
+
+
 def bin_gaussians(
     proj: ProjectedGaussians,
     width: int,
@@ -321,6 +356,8 @@ def bin_gaussians(
     tier_overflow_precomputed: jax.Array = None,
     tile_row0: jax.Array = None,
     total_tiles_y: int = None,
+    table_sorted: jax.Array = None,
+    opacities: jax.Array = None,
 ) -> BinningResult:
     """Full binning pass. All shapes static; jit-safe.
 
@@ -342,7 +379,18 @@ def bin_gaussians(
     coordinates); this function then clips each rect to the band of
     `tiles_y(height)` rows starting at `tile_row0` and emits band-local tile
     ids. With `tile_row0=None` the band IS the frame (single-chip path,
-    unchanged)."""
+    unchanged).
+
+    `table_sorted` ((N, ≥10) [mx,my,A,B,C,…,op] in depth-rank order) or
+    `opacities` ((N,) original order, gathered here): enables the EXACT
+    per-cell σ-bound tile test — a (gaussian, tile) pair whose support
+    ellipse {σ ≤ bound} does not reach the tile's pixel-center box is
+    dropped at expansion time. Output-identical (such pairs contribute α≡0
+    in every backend); cuts real pairs ~9% on the shallow random bench scene
+    and more on scenes with larger splats (rect corners the ellipse misses).
+    The per-cell decision depends only on the splat and the GLOBAL tile, so
+    it is sharding-partition-invariant. With neither argument the test is
+    skipped (keep-all — previous behavior)."""
     tx_n = config.tiles_x(width)
     ty_n = config.tiles_y(height)
     num_tiles = tx_n * ty_n
@@ -437,6 +485,66 @@ def bin_gaussians(
     _, big_idx = jax.lax.top_k(is_big.astype(jnp.int32), m_big)
     big_used = is_big[big_idx]  # mask of capacity slots actually occupied
 
+    # --- 2a. exact per-cell σ-bound tile test (optional) --------------------
+    # A rect cell whose pixel-center box the {σ ≤ bound} support ellipse
+    # provably misses yields α ≡ 0 for every pixel — emit nothing for it.
+    # The σ/bound definitions are ops/falloff.py's (shared with every
+    # backend); a +1e-4 absolute margin on the bound makes an FP-rounding
+    # kill of a genuinely contributing pair impossible (the kernels' σ(p)
+    # evaluation noise is ~1e-6 at these magnitudes).
+    cellmask = None
+    if table_sorted is not None or opacities is not None:
+        from gaussian_splat_tpu.ops.falloff import sigma_bound
+
+        if table_sorted is not None:
+            mx_s = table_sorted[:, 0]
+            my_s = table_sorted[:, 1]
+            A2_s = 0.5 * table_sorted[:, 2]
+            B_s = table_sorted[:, 3]
+            C2_s = 0.5 * table_sorted[:, 4]
+            op_s = table_sorted[:, 9]
+        else:
+            mx_s = proj.means2d[order, 0]
+            my_s = proj.means2d[order, 1]
+            A2_s = 0.5 * proj.conics[order, 0]
+            B_s = proj.conics[order, 1]
+            C2_s = 0.5 * proj.conics[order, 2]
+            op_s = opacities[order]
+        bound_s = sigma_bound(
+            op_s, valid, config.sigma_cutoff, config.alpha_skip
+        ) + jnp.float32(1e-4)
+        row0_g = jnp.int32(0) if tile_row0 is None else tile_row0
+        tw, th = config.tile_width, config.tile_height
+
+        def cellmask(tx0e, ty0e, we, areae, rows, kk):
+            """(len(rows), kk) bool: cell inside rect AND ellipse reaches it."""
+            kidx = jnp.arange(kk, dtype=jnp.int32)[None, :]
+            w_safe = jnp.maximum(we, 1)[:, None]
+            tx = tx0e[:, None] + kidx % w_safe
+            tyg = ty0e[:, None] + kidx // w_safe + row0_g
+            smin = _cell_sigma_min(
+                tx, tyg,
+                mx_s[rows][:, None], my_s[rows][:, None],
+                A2_s[rows][:, None], B_s[rows][:, None], C2_s[rows][:, None],
+                tw, th,
+            )
+            return (kidx < areae[:, None]) & (smin <= bound_s[rows][:, None])
+
+    if cellmask is not None:
+        sl = slice(0, m)
+        area_small_raw = jnp.where(is_big, 0, area)[:m]
+        mask_s = cellmask(tx0[:m], ty0[:m], w[:m], area_small_raw, sl, k_small)
+        area_big_raw = jnp.where(big_used, area[big_idx], 0)
+        mask_b = cellmask(
+            tx0[big_idx], ty0[big_idx], w[big_idx], area_big_raw, big_idx, K
+        )
+        # per-rank survivor counts replace the raw rect areas everywhere
+        # downstream (budget, rank_starts, telemetry)
+        surv = jnp.zeros((n,), jnp.int32).at[:m].set(
+            jnp.sum(mask_s.astype(jnp.int32), axis=1)
+        )
+        area = surv.at[big_idx].add(jnp.sum(mask_b.astype(jnp.int32), axis=1))
+
     # --- 2b. rank-deterministic budget truncation ---------------------------
     # Drop WHOLE gaussians from the far end of the depth order until the pair
     # budget fits. This (a) makes overflow semantically clean (the farthest
@@ -479,13 +587,13 @@ def bin_gaussians(
     tile_bits = max(num_tiles.bit_length(), 1)
     use_packed = rank_bits + tile_bits <= 32
 
-    def expand(tx0e, ty0e, we, areae, gausse, kk):
+    def expand(tx0e, ty0e, we, ok, gausse, kk):
+        """Emit keys for the cells where `ok` ((rows, kk) bool) holds."""
         kidx = jnp.arange(kk, dtype=jnp.int32)[None, :]
         w_safe = jnp.maximum(we, 1)[:, None]
         tile = (ty0e[:, None] + kidx // w_safe) * tx_n + (
             tx0e[:, None] + kidx % w_safe
         )
-        ok = kidx < areae[:, None]
         if use_packed:
             packed = (tile.astype(jnp.uint32) << rank_bits) | gausse[
                 :, None
@@ -496,15 +604,24 @@ def bin_gaussians(
         gauss = jnp.broadcast_to(gausse[:, None], keys.shape)
         return keys.reshape(-1), gauss.reshape(-1)
 
-    # rows ≥ m are invalid (zero area) by construction, so the small-tier
-    # expansion — the sort's bulk — covers only the first m depth ranks
-    area_small = jnp.where(is_big, 0, eff_area)
+    kidx_s = jnp.arange(k_small, dtype=jnp.int32)[None, :]
+    kidx_b = jnp.arange(K, dtype=jnp.int32)[None, :]
+    if cellmask is not None:
+        # σ-test masks, gated by the budget fit of the whole gaussian
+        ok_s = mask_s & fits[:m, None]
+        ok_b = mask_b & fits[big_idx][:, None]
+    else:
+        # rows ≥ m are invalid (zero area) by construction, so the small-tier
+        # expansion — the sort's bulk — covers only the first m depth ranks
+        area_small = jnp.where(is_big, 0, eff_area)
+        ok_s = kidx_s < area_small[:m, None]
+        ok_b = kidx_b < big_vals[:, None]
     keys_s, gauss_s = expand(
-        tx0[:m], ty0[:m], w[:m], area_small[:m],
+        tx0[:m], ty0[:m], w[:m], ok_s,
         jnp.arange(m, dtype=jnp.int32), k_small,
     )
     keys_b, gauss_b = expand(
-        tx0[big_idx], ty0[big_idx], w[big_idx], big_vals, big_idx, K
+        tx0[big_idx], ty0[big_idx], w[big_idx], ok_b, big_idx, K
     )
     flat_keys = jnp.concatenate([keys_s, keys_b])
 

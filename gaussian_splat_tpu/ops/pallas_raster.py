@@ -1326,6 +1326,7 @@ def render_tiled_pallas(
             order=order, code_sorted=code_sorted, clamped_precomputed=clamped,
             tier_overflow_precomputed=tier_ovf,
             tile_row0=tile_row0, total_tiles_y=total_tiles_y,
+            table_sorted=table_all[:, :10],  # enables the σ-bound tile test
         )
         valid_p = binning.pair_tile < num_tiles
         ranks_keyed = jnp.where(valid_p, binning.pair_gauss, n)
@@ -1338,6 +1339,7 @@ def render_tiled_pallas(
         binning = bin_gaussians(
             proj, width, height, config, max_active=max_active,
             tile_row0=tile_row0, total_tiles_y=total_tiles_y,
+            opacities=opacities,
         )
         valid_p = binning.pair_tile < num_tiles
         # pair ranks with a sentinel on padding rows → exact VJP segments

@@ -125,6 +125,7 @@ def render_tiled(
     binning = bin_gaussians(
         proj, width, height, config, max_active=max_active,
         tile_row0=tile_row0, total_tiles_y=total_tiles_y,
+        opacities=opacities,
     )
 
     order = binning.order

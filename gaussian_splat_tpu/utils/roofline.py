@@ -26,6 +26,13 @@ from the kernel source (ops/pallas_raster.py) — not a wish-list number:
 
 A kernel at 100% here has zero DMA stall, zero loop overhead, and perfect
 VPU/MXU overlap — the remaining gap IS the implementation slack.
+
+Model accuracy: the VPU axis assumes 8-op polynomial transcendentals and
+counts FMAs as two ops against the 4-ALU peak; both are conservative, so a
+measured kernel can land slightly ABOVE 100% (r4 bench: fwd 103.7%,
+bwd 111.1% at 1M/1080p). Read ≥100% as "compute-bound at the machine limit
+under this cost model", not as a measurement error — the model is a cost
+ESTIMATE, useful for trend/regression tracking, not a certified bound.
 """
 
 from __future__ import annotations

@@ -86,9 +86,13 @@ def main(argv=None) -> int:
     t1 = time.perf_counter()
     band_pairs = np.asarray(jax.device_get(stats.num_pairs))
 
-    # single-chip ground truth for the pair totals
+    # single-chip ground truth for the pair totals (opacities → the σ-bound
+    # tile test runs, matching the sharded render path)
+    from gaussian_splat_tpu.ops.render import _effective_opacities
+
     proj, _ = _project_and_shade(model, camera, cfg)
-    single = bin_gaussians(proj, args.width, args.height, cfg)
+    opac = _effective_opacities(model, proj, cfg)
+    single = bin_gaussians(proj, args.width, args.height, cfg, opacities=opac)
     total = int(single.num_pairs)
     t2 = time.perf_counter()
 
