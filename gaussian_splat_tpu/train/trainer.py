@@ -220,9 +220,16 @@ def fit_multiview_adc(
     victim_fraction: float = 0.05,
     seed: int = 0,
     log_every: int = 100,
+    resume: bool = False,
 ) -> Tuple[GaussianModel, list]:
     """Multi-view fit with 3DGS-style adaptive density control at fixed N
-    (slot redistribution — see train/densify.py)."""
+    (slot redistribution — see train/densify.py).
+
+    Checkpointing: with `train_config.checkpoint_dir` set, the full
+    AdcTrainState (model + optimizer moments + densify scores + step) is
+    Orbax-saved every `checkpoint_every` steps; `resume=True` restores the
+    latest checkpoint and continues from its step (the PLY remains the
+    interchange/export format — SURVEY §5 checkpoint/resume)."""
     import numpy as np
 
     from gaussian_splat_tpu.train import densify as adc
@@ -264,8 +271,22 @@ def fit_multiview_adc(
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     state = AdcTrainState(model, tx.init(model), jnp.int32(0), dstate)
+    start = 0
+    if resume and train_config.checkpoint_dir:
+        from gaussian_splat_tpu.train.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(train_config.checkpoint_dir, state)
+        if restored is not None:
+            state = restored
+            start = int(state.step)
+            # keep the view/densify RNG streams aligned with the fresh run
+            rng = np.random.default_rng(seed)
+            _ = rng.integers(dataset.num_views, size=start)
+            for i in range(0, start, densify_every):
+                if 0 < i <= densify_until:
+                    key, _ = jax.random.split(key)
     history = []
-    for i in range(train_config.num_steps):
+    for i in range(start, train_config.num_steps):
         view = int(rng.integers(dataset.num_views))
         state, loss = train_step(state, jnp.int32(view))
         if 0 < i <= densify_until and i % densify_every == 0:
@@ -275,6 +296,15 @@ def fit_multiview_adc(
             state = opacity_reset_jit(state)
         if i % log_every == 0 or i == train_config.num_steps - 1:
             history.append(float(loss))
+        if (
+            train_config.checkpoint_dir
+            and train_config.checkpoint_every
+            and i > 0
+            and (i + 1) % train_config.checkpoint_every == 0
+        ):
+            from gaussian_splat_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(train_config.checkpoint_dir, state)
     return state.model, history
 
 

@@ -150,6 +150,9 @@ def main():
     ap.add_argument("--ckpt-dir", default="/tmp/gs_scene_ckpt")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU smoke test of the full path")
+    ap.add_argument("--resume", action="store_true",
+                    help="restore the latest Orbax checkpoint from --ckpt-dir "
+                         "and continue to --steps")
     args = ap.parse_args()
     if args.smoke:
         args.n, args.gt_n, args.steps = 2000, 1500, 60
@@ -195,6 +198,7 @@ def main():
         densify_every=100,
         opacity_reset_every=0,  # fixed-N slot redistribution handles pruning
         log_every=max(args.steps // 40, 1),
+        resume=args.resume,
     )
     train_s = time.time() - t1
     history = hist

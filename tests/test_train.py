@@ -184,3 +184,43 @@ def test_separable_ssim_filter_matches_depthwise_conv():
     )[0].transpose(1, 2, 0)
     np.testing.assert_allclose(np.asarray(_filter2d(a, w1)), np.asarray(y),
                                atol=1e-6)
+
+
+def test_adc_checkpoint_and_resume(tmp_path):
+    """fit_multiview_adc saves AdcTrainState checkpoints and resume=True
+    continues from the saved step instead of restarting (SURVEY §5
+    checkpoint/resume; VERDICT r4: training curve with a mid-run resume)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gaussian_splat_tpu.camera import Camera
+    from gaussian_splat_tpu.config import RenderConfig, TrainConfig
+    from gaussian_splat_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_tpu.ops.render import render
+    from gaussian_splat_tpu.train.checkpoint import latest_step
+    from gaussian_splat_tpu.train.dataset import ViewDataset
+    from gaussian_splat_tpu.train.trainer import fit_multiview_adc
+
+    cam = Camera.from_lookat((0, 0, -3), (0, 0, 0), (0, 1, 0), 60.0, 32, 32)
+    gt = GaussianModel.random(jax.random.PRNGKey(1), 32, extent=0.8,
+                              scale_range=(0.05, 0.2))
+    cfg = RenderConfig(backend="jnp_tile")
+    img = np.asarray(render(gt, cam, cfg).image)
+    ds = ViewDataset.from_views([(cam, img)])
+
+    model = GaussianModel.random(jax.random.PRNGKey(2), 32, extent=0.8,
+                                 scale_range=(0.05, 0.2))
+    ck = str(tmp_path / "ck")
+    tc_half = TrainConfig(num_steps=6, checkpoint_dir=ck, checkpoint_every=3)
+    _, h1 = fit_multiview_adc(model, ds, cfg, tc_half, densify_every=4,
+                              opacity_reset_every=0, log_every=1)
+    assert latest_step(ck) == 6  # saved at (i+1) % 3 == 0 → steps 3 and 6
+
+    tc_full = TrainConfig(num_steps=10, checkpoint_dir=ck, checkpoint_every=3)
+    fitted, h2 = fit_multiview_adc(model, ds, cfg, tc_full, densify_every=4,
+                                   opacity_reset_every=0, log_every=1,
+                                   resume=True)
+    # resumed run trains only the remaining 4 steps
+    assert len(h2) == 4
+    assert latest_step(ck) == 9
+    assert np.isfinite(h2[-1])
