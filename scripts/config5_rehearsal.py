@@ -101,22 +101,29 @@ def main(argv=None) -> int:
     report["per_band_pairs"] = band_pairs.tolist()
     report["per_band_overflow"] = np.asarray(stats.overflow).tolist()
     report["dropped_gaussians"] = int(np.sum(np.asarray(stats.dropped_gaussians)))
-    # Pair accounting: every (gaussian, tile) pair lands in exactly one band,
-    # EXCEPT where the two-tier rect shrink fires — the shrink decision is
-    # per-rect (area > cap), so a band-straddling splat above the small-tier
-    # cap can shrink in the single-chip rect but not in its per-band
-    # sub-rects (or vice versa). Those events are exactly the clamped_rects
-    # telemetry, each changing at most max_tiles_per_gaussian pairs; with no
-    # clamps the partition must be EXACT.
+    # partition-exactness sentinel: 0 on every band (AND single-chip) ⇒ tier
+    # membership is a pure per-gaussian function ⇒ pair partition is exact
+    report["per_band_tier_overflow"] = np.asarray(stats.tier_overflow).tolist()
+    report["single_tier_overflow"] = int(single.tier_overflow)
+    # Pair accounting: rect/shrink/σ-test decisions are all computed on the
+    # GLOBAL grid (round 4), so the partition is EXACT whenever the big-tier
+    # capacity never overflows (tier_overflow sentinel == 0 everywhere) —
+    # overflow falls back to deterministic-by-area selection within each
+    # band's own capacity, which IS population-relative; each such forced
+    # shrink is counted in clamped_rects and changes at most
+    # max_tiles_per_gaussian pairs.
     clamps = int(np.sum(np.asarray(stats.clamped_rects))) + int(
         single.clamped_rects
+    )
+    tovf = int(np.sum(np.asarray(stats.tier_overflow))) + int(
+        single.tier_overflow
     )
     diff = abs(int(band_pairs.sum()) - total)
     report["pair_sum_diff"] = int(band_pairs.sum()) - total
     report["clamped_rects"] = clamps
     bound = clamps * cfg.max_tiles_per_gaussian
     assert diff <= bound, (band_pairs.sum(), total, clamps)
-    if clamps == 0:
+    if tovf == 0:
         assert diff == 0, (band_pairs.sum(), total)
     assert report["dropped_gaussians"] == 0, report["dropped_gaussians"]
 
