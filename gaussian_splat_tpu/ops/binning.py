@@ -539,11 +539,15 @@ def bin_gaussians(
             tx0[big_idx], ty0[big_idx], w[big_idx], area_big_raw, big_idx, K
         )
         # per-rank survivor counts replace the raw rect areas everywhere
-        # downstream (budget, rank_starts, telemetry)
-        surv = jnp.zeros((n,), jnp.int32).at[:m].set(
-            jnp.sum(mask_s.astype(jnp.int32), axis=1)
-        )
-        area = surv.at[big_idx].add(jnp.sum(mask_b.astype(jnp.int32), axis=1))
+        # downstream (budget, rank_starts, telemetry). Built with concat +
+        # one scatter-add (a slice-assign .at[:m].set breaks under
+        # checkify.all_checks' index instrumentation — empty-argmin bug)
+        surv_s = jnp.sum(mask_s.astype(jnp.int32), axis=1)  # (m,)
+        if m < n:
+            surv_s = jnp.concatenate(
+                [surv_s, jnp.zeros((n - m,), jnp.int32)]
+            )
+        area = surv_s.at[big_idx].add(jnp.sum(mask_b.astype(jnp.int32), axis=1))
 
     # --- 2b. rank-deterministic budget truncation ---------------------------
     # Drop WHOLE gaussians from the far end of the depth order until the pair
