@@ -20,13 +20,33 @@ from typing import Optional
 import jax
 
 
+# One manager per directory for the process lifetime: constructing a fresh
+# CheckpointManager per save leaks its background threads and re-scans the
+# step directory every call — with checkpoint_every small that dominates a
+# long run (advisor finding, round 4).
+_MANAGERS: dict = {}
+
+
 def _manager(directory: str):
     import orbax.checkpoint as ocp
 
-    return ocp.CheckpointManager(
-        os.path.abspath(directory),
-        options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
-    )
+    key = os.path.abspath(directory)
+    mgr = _MANAGERS.get(key)
+    if mgr is None:
+        mgr = ocp.CheckpointManager(
+            key,
+            options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+        )
+        _MANAGERS[key] = mgr
+    return mgr
+
+
+def close_managers() -> None:
+    """Flush and release every cached CheckpointManager (end of training)."""
+    for mgr in _MANAGERS.values():
+        mgr.wait_until_finished()
+        mgr.close()
+    _MANAGERS.clear()
 
 
 def save_checkpoint(directory: str, state) -> None:
@@ -44,6 +64,9 @@ def restore_checkpoint(directory: str, template):
     import orbax.checkpoint as ocp
 
     mgr = _manager(directory)
+    # a save from another process/manager instance may have landed since this
+    # manager's last directory scan
+    mgr.reload()
     step = mgr.latest_step()
     if step is None:
         return None
@@ -51,7 +74,6 @@ def restore_checkpoint(directory: str, template):
 
 
 def latest_step(directory: str) -> Optional[int]:
-    import orbax.checkpoint as ocp
-
     mgr = _manager(directory)
+    mgr.reload()
     return mgr.latest_step()

@@ -206,6 +206,11 @@ class AdcTrainState(NamedTuple):
     opt_state: optax.OptState
     step: jax.Array
     densify: "object"  # DensifyState
+    key_splits: jax.Array = None  # () int32: jax.random.split calls consumed
+    #   by densify so far — persisted so resume replays the EXACT key stream
+    #   even if densify_every/num_steps change between invocations (advisor
+    #   finding, round 4: re-deriving the count from current hyperparams
+    #   silently desyncs the stream)
 
 
 def fit_multiview_adc(
@@ -254,7 +259,10 @@ def fit_multiview_adc(
         d = adc.update_scores(state.densify, g_screen)
         updates, opt_state = tx.update(grads, state.opt_state, state.model)
         m = optax.apply_updates(state.model, updates)
-        return AdcTrainState(m, opt_state, state.step + 1, d), loss
+        return (
+            AdcTrainState(m, opt_state, state.step + 1, d, state.key_splits),
+            loss,
+        )
 
     @jax.jit
     def densify_jit(state: AdcTrainState, key):
@@ -262,7 +270,9 @@ def fit_multiview_adc(
             state.model, state.densify, key, victim_fraction=victim_fraction
         )
         opt_state = adc.reset_opt_rows(state.opt_state, respawned)
-        return AdcTrainState(m, opt_state, state.step, d)
+        return AdcTrainState(
+            m, opt_state, state.step, d, state.key_splits + 1
+        )
 
     @jax.jit
     def opacity_reset_jit(state: AdcTrainState):
@@ -270,7 +280,9 @@ def fit_multiview_adc(
 
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
-    state = AdcTrainState(model, tx.init(model), jnp.int32(0), dstate)
+    state = AdcTrainState(
+        model, tx.init(model), jnp.int32(0), dstate, jnp.int32(0)
+    )
     start = 0
     if resume and train_config.checkpoint_dir:
         from gaussian_splat_tpu.train.checkpoint import restore_checkpoint
@@ -279,12 +291,15 @@ def fit_multiview_adc(
         if restored is not None:
             state = restored
             start = int(state.step)
-            # keep the view/densify RNG streams aligned with the fresh run
+            # keep the view/densify RNG streams aligned with the fresh run:
+            # one view draw per step, and the PERSISTED split count (not a
+            # re-derivation from the current densify_every/densify_until,
+            # which silently desyncs when hyperparameters change between
+            # invocations — advisor finding, round 4)
             rng = np.random.default_rng(seed)
             _ = rng.integers(dataset.num_views, size=start)
-            for i in range(0, start, densify_every):
-                if 0 < i <= densify_until:
-                    key, _ = jax.random.split(key)
+            for _ in range(int(state.key_splits)):
+                key, _ = jax.random.split(key)
     history = []
     for i in range(start, train_config.num_steps):
         view = int(rng.integers(dataset.num_views))

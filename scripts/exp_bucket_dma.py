@@ -18,13 +18,15 @@ STATUS (end of round 4, v5e):
      primitive for the bucket kernel works (async copy to
      `hbm.at[:, pl.ds(traced_start, 128)]` with a scalar-prefetch-derived
      start lands exactly where directed).
-  P2 in-register permutation: OK in interpret mode, MISMATCH compiled —
-     some step of the comparison algebra (broadcasts of a (g,1) against
-     lane iota, or the f32 equality) lowers incorrectly; int relayout
-     transposes and f32 iota were already ruled out/avoided. Round-5
-     debugging should dump `dst` as a second output to bisect compute vs
-     matmul. The permutation can also be sidestepped entirely: write per
-     bucket with masked accumulation instead of compacting lanes first.
+  P2 in-register permutation: **OK on hardware** (round 5) — the round-4
+     "MISMATCH" was never a miscompile. scripts/exp_bucket_debug.py
+     bisected every intermediate: the comparison algebra, dst, and PT are
+     all bit-correct compiled; the error was the final x@PT matmul running
+     at Precision.DEFAULT, which truncates the f32 LHS to bf16 (maxerr
+     7.8e-3 on N(0,1) data — the probe's allclose then failed). With
+     Precision.HIGHEST the permutation apply is BIT-EXACT on hardware (and
+     the 0/1 RHS makes the 2-pass split-f32 _mm_x2 scheme ~2⁻¹⁸-accurate
+     if HIGHEST's 6 passes ever matter for speed).
 """
 
 import functools
@@ -125,10 +127,12 @@ def probe_inreg_permutation():
             jax.lax.broadcasted_iota(jnp.int32, (g, g), 1).astype(jnp.float32)
             == jnp.broadcast_to(dst, (g, g))
         ).astype(jnp.float32)
-        # o[:, d] = sum_s x[:, s] * PT[s, d]
+        # o[:, d] = sum_s x[:, s] * PT[s, d]. HIGHEST: a permutation apply
+        # must not truncate the data to bf16 (the round-4 false "miscompile")
         o_ref[:, :] = jax.lax.dot_general(
             x_ref[:, :], PT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     rng = np.random.default_rng(1)
