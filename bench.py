@@ -45,9 +45,14 @@ def main():
     ap.add_argument("--backend", default="auto")
     ap.add_argument("--fwd-only", action="store_true")
     ap.add_argument("--scene", default=None, help="render a PLY scene instead of the synthetic random model (realistic depth-complexity bench config)")
+    ap.add_argument("--config5", action="store_true", help="north-star config 5: 3M splats @ 3840x2160 single-chip (capacities come from the same scene calibration as every bench run; the 4K shape needs it — the default fraction-sized big tier overflows 308k deep there)")
+    ap.add_argument("--no-calibrate", action="store_true", help="skip scene calibration and bench the generic default capacities")
     args = ap.parse_args()
 
     import gaussian_splat_tpu as gs
+
+    if args.config5:
+        args.n, args.width, args.height = 3_000_000, 3840, 2160
 
     if args.scene:
         from gaussian_splat_tpu.io.ply import load_gaussians
@@ -58,13 +63,25 @@ def main():
         key = jax.random.PRNGKey(0)
         model = gs.GaussianModel.random(
             key, args.n, sh_degree=args.sh_degree, extent=2.0,
-            scale_range=(0.005, 0.02),
+            scale_range=(0.004, 0.02) if args.config5 else (0.005, 0.02),
         )
     camera = gs.Camera.from_lookat(
         (0.0, 0.5, -5.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
         60.0, args.width, args.height,
     )
     config = gs.RenderConfig(backend=args.backend)
+    if not args.no_calibrate:
+        # Scene calibration (the deployment model: one compile per scene):
+        # pairs_per_gaussian and big_tier_capacity are static capacities that
+        # default to generic-safe values; measuring the scene's rect-cell
+        # total and big-tier-eligible count sizes them tightly with
+        # sentinel-guarded exactness — overflow/tier_overflow are reported
+        # below and MUST be 0, in which case the output is bit-identical to
+        # the default config (capacities only affect truncation + padding).
+        # Worth ~9 ms fwd / ~16 ms fwd+bwd at 1M/1080p (scripts/exp_tune.py:
+        # budget 4.0/splat carried ~60% headroom over the scene's 2.46M
+        # pairs, and every B-proportional stage paid for it).
+        config = gs.calibrate_render_config(model, camera, config)
 
     # Amortize per-dispatch host↔device overhead by rendering `reps` frames
     # inside ONE jitted scan (the jiggle of the means between frames defeats
@@ -141,6 +158,8 @@ def main():
         ),
         "backend": config.backend,
         "device": str(jax.devices()[0]),
+        "pair_budget": config.pair_budget(args.n),
+        "big_tier_capacity": config.big_tier_capacity,
         **roofline,
     }
     if args.scene:
@@ -237,6 +256,8 @@ def _roofline(args, model, camera, config, reps, roofline, errors):
 
     roofline["num_pairs"] = int(jax.device_get(binning.num_pairs))
     roofline["overflow"] = int(jax.device_get(binning.overflow))
+    roofline["tier_overflow"] = int(jax.device_get(binning.tier_overflow))
+    roofline["clamped_rects"] = int(jax.device_get(binning.clamped_rects))
 
     kf_ms = _phase(errors, "roofline_fwd", lambda: median_ms_multi(
         run_fwd,

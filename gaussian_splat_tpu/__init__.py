@@ -18,7 +18,7 @@ of hardware rasterization + per-pixel OIT lists.
 from gaussian_splat_tpu.camera import Camera
 from gaussian_splat_tpu.config import RenderConfig
 from gaussian_splat_tpu.models.gaussians import GaussianModel
-from gaussian_splat_tpu.ops.render import render
+from gaussian_splat_tpu.ops.render import calibrate_render_config, render
 
 __version__ = "0.1.0"
 
@@ -27,5 +27,6 @@ __all__ = [
     "RenderConfig",
     "GaussianModel",
     "render",
+    "calibrate_render_config",
     "__version__",
 ]

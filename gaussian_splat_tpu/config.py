@@ -54,6 +54,15 @@ class RenderConfig:
     #   denser scenes are center-biased and counted in clamped_rects
     big_gaussian_fraction: int = 32  # the N/fraction largest-area gaussians get
     #   the max_tiles_per_gaussian block instead of the small one
+    big_tier_capacity: Optional[int] = None  # absolute override of the big
+    #   tier's static capacity (slots). The fraction heuristic under-sizes
+    #   scenes whose pixel scale makes many splats big-tier-ELIGIBLE (area >
+    #   small_tiles_per_gaussian): config 5's 3M @ 4K has ~13% eligible vs the
+    #   ~3% the fraction assumes, overflowing the tier 308k deep (round-4
+    #   verdict item 2). Size it from a calibration frame's eligible count
+    #   (binning reports `tier_overflow` as the runtime sentinel); when the
+    #   capacity covers every eligible splat, tier membership is a pure
+    #   per-gaussian threshold and the sharded pair partition is exact.
     pairs_per_gaussian: float = 4.0  # pair budget = ceil(N * pairs_per_gaussian);
     #   the 1M-splat bench scene uses ~2.85 at 32×16 tiles with the exact
     #   elliptical-AABB rects (~3.3 with the older circular rects) — overflow
@@ -118,10 +127,17 @@ class RenderConfig:
     #   band) or "all_to_all" (the north-star sparse exchange: each chip sends
     #   only the splats whose rect hits the destination band — traffic and
     #   per-chip memory stay O(N/D) as the mesh grows)
-    shard_capacity_factor: float = 2.0  # all_gather path: each chip bins at
-    #   most N·factor/D splats (the in-band compaction cap). 1.0 = perfectly
-    #   uniform bands; 2.0 tolerates a 2× load imbalance before dropping
-    #   (drops are counted in stats.dropped_gaussians)
+    shard_capacity_margin: float = 0.25  # all_gather path: each chip bins at
+    #   most N/D + margin·N splats (the in-band compaction cap). The additive
+    #   form matches the measured structure of band incidence: N/D residents
+    #   plus an absolute tail of large splats whose extents cross band
+    #   boundaries (the tail barely shrinks with D — measured 0.078·N on the
+    #   1M bench scene at 8 bands, 0.22·N on the 30k rehearsal scene). The
+    #   round-4 multiplicative cap N·2.0/D degenerated to "no compaction" at
+    #   D=2 (work preservation 0.588, verdict item 5) while a smaller factor
+    #   silently dropped splats at D≥4; the margin form keeps compaction
+    #   effective at every D. Drops are counted in stats.dropped_gaussians —
+    #   calibrate_render_config(mesh_ndev=...) sizes the margin per scene.
     a2a_capacity_factor: float = 4.0  # all_to_all path: per (source, dest)
     #   send-buffer capacity = N/D² · factor; overflow is counted per source
     shard_capacity_floor: int = 4096  # minimum capacity regardless of factor:
@@ -147,6 +163,16 @@ class RenderConfig:
     def num_tiles(self, width: int, height: int) -> int:
         return self.tiles_x(width) * self.tiles_y(height)
 
+    def big_capacity(self, n_eff: int) -> int:
+        """Static big-tier slot count for an n_eff-row binning pass.
+
+        Floor of 64: small scenes get the full-size tier everywhere (the
+        fraction only matters once N is large enough for the sort to hurt).
+        `big_tier_capacity` overrides the fraction heuristic absolutely."""
+        if self.big_tier_capacity is not None:
+            return min(n_eff, max(self.big_tier_capacity, 1))
+        return min(n_eff, max(n_eff // self.big_gaussian_fraction + 1, 64))
+
     def pair_budget(self, n_gaussians: int) -> int:
         """Static pair-list capacity, rounded up to a chunk multiple.
 
@@ -154,9 +180,7 @@ class RenderConfig:
         truncation can never occur; large scenes get the amortized
         `pairs_per_gaussian` budget (with a floor), and overflow is reported by
         `BinningResult.overflow`."""
-        m_big = min(
-            n_gaussians, max(n_gaussians // self.big_gaussian_fraction + 1, 64)
-        )
+        m_big = self.big_capacity(n_gaussians)
         worst = (
             n_gaussians * self.small_tiles_per_gaussian
             + m_big * self.max_tiles_per_gaussian

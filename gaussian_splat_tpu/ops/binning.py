@@ -233,9 +233,9 @@ def effective_rects(
     )
     area = w * h  # 0 on invalid rows
 
-    # floor of 64 big slots: small scenes get the full-size tier everywhere
-    # (the fraction only matters once N is large enough for the sort to hurt)
-    m_big = min(n_eff, max(n_eff // config.big_gaussian_fraction + 1, 64))
+    # static capacity: fraction heuristic or the absolute override
+    # (config.big_capacity docstring; floor of 64 keeps small scenes exact)
+    m_big = config.big_capacity(n_eff)
     eligible = area > config.small_tiles_per_gaussian
     score = jnp.where(eligible, area, 0)
     _, big_idx = jax.lax.top_k(score, m_big)
@@ -424,7 +424,7 @@ def bin_gaussians(
     # tiles); larger frames fall back to gathering the rect columns directly.
     k_small = config.small_tiles_per_gaussian
     n_eff = min(m, n)
-    m_big = min(n_eff, max(n_eff // config.big_gaussian_fraction + 1, 64))
+    m_big = config.big_capacity(n_eff)
 
     # tx0/ty0 can equal tx_n/ty_n (empty rect clipped at the far edge)
     grid_ty_n = ty_n if total_tiles_y is None else total_tiles_y

@@ -112,3 +112,102 @@ def render(
     return RenderOutput(
         image=image, alpha=1.0 - t_final, depth=depth, projected=proj
     )
+
+
+def calibrate_render_config(
+    model: GaussianModel,
+    cameras,
+    config: RenderConfig = RenderConfig(),
+    pair_headroom: float = 1.15,
+    big_headroom: float = 1.2,
+    mesh_ndev: Optional[int] = None,
+    margin_headroom: float = 2.0,
+) -> RenderConfig:
+    """Measure scene-dependent static capacities and return a tightened config.
+
+    Every B-proportional stage (pair row gather ~7.26 ns/row on v5e, the VJP
+    rank sort, the segment sum) scales with `pair_budget`, and the big-tier
+    expansion block scales with the tier capacity — but both defaults are
+    sized for a worst case the scene may be nowhere near (or, at 4K scales,
+    UNDER it: the fraction heuristic under-sizes the tier — see
+    RenderConfig.big_tier_capacity). This helper renders nothing: one cheap
+    projection + rect pass per calibration camera measures
+
+      * the total K-capped rect-cell count (an upper bound on num_pairs —
+        the σ-bound cell test only removes pairs), setting
+        `pairs_per_gaussian` with `pair_headroom`, and
+      * the big-tier-eligible count (K-capped area > small cap), setting
+        `big_tier_capacity` with `big_headroom` (so tier_overflow == 0 and
+        the sharded pair partition stays exact by construction).
+
+    With both sentinels at 0 the calibrated config renders BIT-IDENTICAL
+    output to the default config — the budget and capacity only affect
+    truncation and padding. `BinningStats.overflow`/`tier_overflow` remain
+    the runtime guards if the scene or cameras change later (e.g. under
+    training: pass several representative cameras and keep the headroom).
+
+    With `mesh_ndev`, a third measurement sizes `shard_capacity_margin`: the
+    max per-band splat incidence (band test identical to the sharded path's)
+    minus the N/D resident share, scaled by `margin_headroom` — so the
+    sharded compaction cap stays as tight as the scene allows without drops.
+
+    `cameras` is one Camera or an iterable; the max over cameras is used.
+    """
+    import dataclasses
+
+    from gaussian_splat_tpu.ops.binning import quantize_extent_up, tile_rects
+
+    if isinstance(cameras, Camera):
+        cameras = [cameras]
+    n = model.num_gaussians
+    max_sum_area = 0
+    max_eligible = 0
+    max_incidence = 0
+
+    @jax.jit
+    def measure(m, cam):
+        proj, _ = _project_and_shade(m, cam, config)
+        _tx0, _ty0, w, h, _cl = tile_rects(
+            proj.means2d, proj.radii, proj.valid, cam.width, cam.height,
+            config, extents=proj.extents,
+        )
+        area = w * h
+        inc = jnp.int32(0)
+        if mesh_ndev is not None and mesh_ndev > 1:
+            rows_per_dev = -(-config.tiles_y(cam.height) // mesh_ndev)
+            band_h = rows_per_dev * config.tile_height
+            my = proj.means2d[:, 1]
+            ry = quantize_extent_up(proj.extents[:, 1])
+            per_band = []
+            for d in range(mesh_ndev):
+                lo, hi = jnp.float32(d * band_h), jnp.float32((d + 1) * band_h)
+                per_band.append(jnp.sum(
+                    (proj.valid & (my + ry > lo) & (my - ry < hi)).astype(
+                        jnp.int32
+                    )
+                ))
+            inc = jnp.max(jnp.stack(per_band))
+        return (
+            jnp.sum(area),
+            jnp.sum((area > config.small_tiles_per_gaussian).astype(jnp.int32)),
+            inc,
+        )
+
+    for cam in cameras:
+        sum_area, eligible, inc = jax.device_get(measure(model, cam))
+        max_sum_area = max(max_sum_area, int(sum_area))
+        max_eligible = max(max_eligible, int(eligible))
+        max_incidence = max(max_incidence, int(inc))
+
+    ppg = max(max_sum_area * pair_headroom / max(n, 1), 0.5)
+    big_cap = max(-(-int(max_eligible * big_headroom) // 1024) * 1024, 64)
+    updates = dict(
+        pairs_per_gaussian=round(ppg, 3),
+        big_tier_capacity=big_cap,
+    )
+    if mesh_ndev is not None and mesh_ndev > 1:
+        tail = max(max_incidence - -(-n // mesh_ndev), 0)
+        updates["shard_capacity_margin"] = round(
+            tail * margin_headroom / max(n, 1), 4
+        )
+    return dataclasses.replace(config, **updates)

@@ -12,7 +12,7 @@ SURVEY §2.3):
       - "all_gather" (default, best ≤8 devices): dense gather over ICI —
         ~48 MB/chip at 1M splats — then each chip COMPACTS to the splats whose
         rect intersects its band before binning, so the expensive pair sort
-        runs over ≤ N·capacity_factor/D rows per chip, not N.
+        runs over ≤ N/D + margin·N rows per chip, not N.
       - "all_to_all" (the north-star sparse exchange, for larger meshes):
         each chip routes every local splat only to the chips whose tile band
         its rect touches, via static-capacity per-destination buffers + one
@@ -30,7 +30,7 @@ SURVEY §2.3):
 Load imbalance is explicit, not silent: every band reports its pair count,
 pair-budget overflow, and how many in-band splats its capacity cap dropped
 (`ShardedRender.stats`, one row per chip). Capacities are static shapes —
-`shard_capacity_factor` / `a2a_capacity_factor` trade headroom for memory.
+`shard_capacity_margin` / `a2a_capacity_factor` trade headroom for memory.
 
 The image height is padded so every chip owns an equal integer number of tile
 rows; callers crop. Each band renders in GLOBAL pixel coordinates: means2d
@@ -163,7 +163,11 @@ def render_sharded(
     # cost; at production N the factor term dominates.
     chunk = config.chunk_size
     floor = config.shard_capacity_floor
-    cap = max(int(n * config.shard_capacity_factor / ndev), min(n, floor))
+    # additive-margin cap: N/D residents + margin*N boundary-crossing tail
+    # (see RenderConfig.shard_capacity_margin)
+    cap = max(
+        -(-n // ndev) + int(n * config.shard_capacity_margin), min(n, floor)
+    )
     max_active = min(n, -(-cap // chunk) * chunk)
 
     # all_to_all path: per-(source, dest) send capacity (static).
@@ -308,7 +312,11 @@ def sharded_binning_stats(
     n = model.num_gaussians
     chunk = config.chunk_size
     floor = config.shard_capacity_floor
-    cap = max(int(n * config.shard_capacity_factor / ndev), min(n, floor))
+    # additive-margin cap: N/D residents + margin*N boundary-crossing tail
+    # (see RenderConfig.shard_capacity_margin)
+    cap = max(
+        -(-n // ndev) + int(n * config.shard_capacity_margin), min(n, floor)
+    )
     max_active = min(n, -(-cap // chunk) * chunk)
     n_local = n // ndev
     a2a_cap = max(

@@ -52,8 +52,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ndev", type=int, default=8)
     args = ap.parse_args(argv)
 
+    import dataclasses
+
     import gaussian_splat_tpu as gs
-    from gaussian_splat_tpu.ops.binning import bin_gaussians
+    from gaussian_splat_tpu.ops.binning import bin_gaussians, tile_rects
     from gaussian_splat_tpu.ops.render import _project_and_shade, render
     from gaussian_splat_tpu.parallel.mesh import make_mesh, shard_model
     from gaussian_splat_tpu.parallel.sharded_render import (
@@ -73,9 +75,51 @@ def main(argv=None) -> int:
         (0.0, 0.5, -5.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0),
         60.0, args.width, args.height,
     )
-    cfg = gs.RenderConfig(backend="jnp_tile", shard_exchange="all_to_all")
 
-    report = {"n": n, "resolution": [args.width, args.height], "ndev": ndev}
+    # --- 0. calibration: size capacities from the scene, not from hope -------
+    # The round-4 run used the default fraction capacity (n/32+1 = 94k) at a
+    # shape with ~402k big-tier-ELIGIBLE splats — the tier overflowed 308k
+    # deep, forcing population-relative shrinks (413k clamped rects, 2.5M
+    # mis-partitioned pairs). Exactness is a CAPACITY property: measure the
+    # eligible count on a calibration frame, set big_tier_capacity above it,
+    # and the partition is exact by construction (tier_overflow sentinel 0).
+    cal_cfg = gs.RenderConfig(backend="jnp_tile")
+    proj_cal, _ = _project_and_shade(model, camera, cal_cfg)
+    _tx0, _ty0, w_c, h_c, _cl = jax.jit(
+        lambda p: tile_rects(
+            p.means2d, p.radii, p.valid, args.width, args.height, cal_cfg,
+            extents=p.extents,
+        )
+    )(proj_cal)
+    area_cal = np.asarray(w_c) * np.asarray(h_c)
+    eligible = int((area_cal > cal_cfg.small_tiles_per_gaussian).sum())
+    sum_area = int(area_cal.sum())
+    big_cap = -(-int(eligible * 1.2) // 1024) * 1024  # 20% headroom
+    # pairs_per_gaussian from the measured pre-σ pair total (+~40% headroom:
+    # the σ test only removes pairs); shard_capacity_margin from the measured
+    # band incidence at this shape (max band holds N/8 + 0.078*N) — 0.15
+    # keeps ~2x headroom on the tail term.
+    ppg = max(4.0, round(sum_area / n * 1.4, 1))
+    cfg = dataclasses.replace(
+        gs.RenderConfig(backend="jnp_tile", shard_exchange="all_to_all"),
+        big_tier_capacity=big_cap,
+        pairs_per_gaussian=ppg,
+        shard_capacity_margin=0.15,
+    )
+    del proj_cal, w_c, h_c
+
+    report = {
+        "n": n,
+        "resolution": [args.width, args.height],
+        "ndev": ndev,
+        "calibration": {
+            "big_eligible": eligible,
+            "big_tier_capacity": big_cap,
+            "sum_rect_area": sum_area,
+            "pairs_per_gaussian": ppg,
+            "shard_capacity_margin": 0.15,
+        },
+    }
 
     # --- 1. full-shape sharded binning + accounting --------------------------
     t0 = time.perf_counter()
@@ -106,25 +150,25 @@ def main(argv=None) -> int:
     report["per_band_tier_overflow"] = np.asarray(stats.tier_overflow).tolist()
     report["single_tier_overflow"] = int(single.tier_overflow)
     # Pair accounting: rect/shrink/σ-test decisions are all computed on the
-    # GLOBAL grid (round 4), so the partition is EXACT whenever the big-tier
-    # capacity never overflows (tier_overflow sentinel == 0 everywhere) —
-    # overflow falls back to deterministic-by-area selection within each
-    # band's own capacity, which IS population-relative; each such forced
-    # shrink is counted in clamped_rects and changes at most
-    # max_tiles_per_gaussian pairs.
+    # GLOBAL grid (round 4) and the calibrated capacity covers every eligible
+    # splat (round 5), so the sentinel must read 0 on every band AND the
+    # single chip, and the per-band pair counts must partition the
+    # single-chip total EXACTLY. These are hard asserts, not aspirations.
     clamps = int(np.sum(np.asarray(stats.clamped_rects))) + int(
         single.clamped_rects
     )
     tovf = int(np.sum(np.asarray(stats.tier_overflow))) + int(
         single.tier_overflow
     )
-    diff = abs(int(band_pairs.sum()) - total)
     report["pair_sum_diff"] = int(band_pairs.sum()) - total
     report["clamped_rects"] = clamps
-    bound = clamps * cfg.max_tiles_per_gaussian
-    assert diff <= bound, (band_pairs.sum(), total, clamps)
-    if tovf == 0:
-        assert diff == 0, (band_pairs.sum(), total)
+    report["pair_overflow_total"] = int(
+        np.sum(np.asarray(stats.overflow))
+    ) + int(single.overflow)
+    assert tovf == 0, (report["per_band_tier_overflow"], int(single.tier_overflow))
+    assert report["pair_sum_diff"] == 0, (int(band_pairs.sum()), total)
+    assert clamps == 0, clamps  # no splat at this shape exceeds the K cap
+    assert report["pair_overflow_total"] == 0, report["pair_overflow_total"]
     assert report["dropped_gaussians"] == 0, report["dropped_gaussians"]
 
     # --- 2. end-to-end sharded image probe at reduced res --------------------

@@ -309,7 +309,7 @@ def main():
         RasterStatics as _RS,
     )
 
-    code, clamped = jax.jit(
+    code, clamped, _tier_ovf = jax.jit(
         lambda p: rect_codes(p, W, H, config)
     )(proj)
     codef = jax.lax.bitcast_convert_type(code, jnp.float32)

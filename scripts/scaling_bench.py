@@ -57,7 +57,7 @@ def main(argv=None) -> int:
     camera = gs.Camera.from_lookat(
         (0.0, 0.5, -5.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), 60.0, W, H
     )
-    cfg = gs.RenderConfig(backend="jnp_tile", shard_exchange=args.exchange)
+    base_cfg = gs.RenderConfig(backend="jnp_tile", shard_exchange=args.exchange)
     tc = TrainConfig(num_steps=8)
     target = jnp.zeros((H, W, 3))
 
@@ -69,6 +69,20 @@ def main(argv=None) -> int:
             jax.random.PRNGKey(0), n, sh_degree=1, extent=2.0,
             scale_range=(0.005, 0.02),
         )
+        # per-D calibration: the compaction cap follows the MEASURED band
+        # incidence (no silent drops, no blanket worst-case padding) — the
+        # production deployment story (one compile per mesh shape anyway)
+        if ndev > 1:
+            import dataclasses
+
+            cal = gs.calibrate_render_config(
+                model, camera, base_cfg, mesh_ndev=ndev
+            )
+            cfg = dataclasses.replace(
+                base_cfg, shard_capacity_margin=cal.shard_capacity_margin
+            )
+        else:
+            cfg = base_cfg
         mesh = make_mesh(ndev)
         ms = shard_model(model, mesh)
         state = create_train_state(ms, tc)
@@ -92,14 +106,20 @@ def main(argv=None) -> int:
             stats = sharded_binning_stats(ms, camera, cfg, mesh)
             pairs = np.asarray(stats.num_pairs, dtype=np.float64)
             balance = float(pairs.max() / max(pairs.mean(), 1.0))
+            dropped = int(np.asarray(stats.dropped_gaussians).sum())
         else:
             balance = 1.0
+            dropped = 0
         rows.append(
             {
                 "ndev": ndev,
                 "step_s": round(t, 3),
                 "work_preservation": round(t1 / t, 3),
                 "pair_imbalance_max_over_mean": round(balance, 3),
+                # capacity-cap drops at the calibrated margin — must be 0
+                # for the compaction to be output-identical on this scene
+                "dropped_gaussians": dropped,
+                "capacity_margin": cfg.shard_capacity_margin,
             }
         )
         print(rows[-1], flush=True)

@@ -190,14 +190,14 @@ def test_sharded_imbalanced_scene_reports_drops():
     ms = shard_model(model, mesh)
 
     img_single = render(model, cam, CFG).image
-    tight = RenderConfig(backend="jnp_tile", shard_capacity_factor=0.25,
+    tight = RenderConfig(backend="jnp_tile", shard_capacity_margin=0.0,
                          shard_capacity_floor=0)
     out_tight = render_sharded(ms, cam, tight, mesh)
     drops = np.asarray(out_tight.stats.dropped_gaussians)
     assert drops.sum() > 0  # the crowded band overflowed ...
     assert (drops > 0).sum() <= 2  # ... and only the crowded band(s)
 
-    roomy = RenderConfig(backend="jnp_tile", shard_capacity_factor=8.0)
+    roomy = RenderConfig(backend="jnp_tile", shard_capacity_margin=1.0)
     out_roomy = render_sharded(ms, cam, roomy, mesh)
     assert int(np.asarray(out_roomy.stats.dropped_gaussians).sum()) == 0
     np.testing.assert_allclose(
