@@ -37,6 +37,12 @@ class RenderConfig:
     #   Segments are UNALIGNED: kernels stream 128-aligned supersets with row
     #   masks, and the backward RMWs the boundary chunk shared with the
     #   preceding tile (safe: TPU grid programs execute sequentially).
+    tiles_per_program: int = 4  # tiles batched per forward-kernel grid
+    #   program: R tiles share one flattened cross-tile DMA pipeline, so the
+    #   per-program fixed cost (grid machinery, iota builds, and the first
+    #   DMA's exposed latency — dominant on shallow ~1-2-superset segments)
+    #   amortizes R×. Output-bitwise-identical to 1 (per-tile math untouched);
+    #   see pallas_raster.RasterStatics.rtiles.
     dma_chunks: int = 2  # compute chunks per kernel DMA — the kernels are
     #   DMA-issue/loop-overhead bound, so each transfer fetches
     #   chunk_size·dma_chunks pairs (measured best at 2; the pair array is

@@ -94,6 +94,15 @@ class RasterStatics(NamedTuple):
     #   noise) but visible on near-cancelling sums when compared at f32
     #   precision. True: full f32 payloads through the sort (11 operands),
     #   bit-faithful to the unfused backward.
+    rtiles: int = 1  # tiles per FORWARD grid program. Shallow scenes pay a
+    #   fixed per-program cost (grid machinery, iota/triangle builds, and —
+    #   dominant — the first DMA's exposed latency: an ~550-pair average
+    #   segment is 1-2 supersets, so the NBUF pipeline never fills and every
+    #   program starts cold). Batching R tiles per program flattens the DMA
+    #   stream ACROSS tiles (tile r+1's fetches issue while tile r computes),
+    #   amortizing all of it R× (round-4 verdict item 8: trained-scene fwd
+    #   roofline 85%). Output-bitwise-identical to rtiles=1 by construction —
+    #   per-tile accumulate/finalize math is untouched.
 
 
 def _pixel_coords(static: RasterStatics, tile_id, trow0):
@@ -305,93 +314,120 @@ def _fwd_kernel(static: RasterStatics, offs_ref, cnts_ref, trow0_ref, feats_hbm,
     S = static.schunks
     gS = g * S
     npix = static.tile_w * static.tile_h
-    t = pl.program_id(0)
-    off = offs_ref[t]
-    cnt = cnts_ref[t]
-    end = off + cnt
+    R = static.rtiles
+    upper = _tri_matrix(g)
+    log_eps = np.float32(np.log(max(static.trans_eps, 1e-30)))
+
+    # Per-program tile batch: R tiles share one flattened DMA pipeline so the
+    # fetches for tile r+1 stream while tile r computes — on shallow scenes
+    # (1-2 supersets per segment) the per-tile pipeline never fills and every
+    # program otherwise starts with its first DMA latency fully exposed.
+    tiles = [pl.program_id(0) * R + r for r in range(R)]
+    offs = [offs_ref[t] for t in tiles]
+    cnts = [cnts_ref[t] for t in tiles]
+    ends = [o + c for o, c in zip(offs, cnts)]
     # segments are unaligned: stream the 128-aligned superset with row masks;
     # each DMA fetches S compute chunks (loop/DMA overhead dominates otherwise)
-    base = pl.multiple_of((off // g) * g, g)
-    nsuper = jnp.where(cnt > 0, pl.cdiv(end - base, gS), 0)
+    bases = [pl.multiple_of((o // g) * g, g) for o in offs]
+    nsupers = [
+        jnp.where(c > 0, pl.cdiv(e - b, gS), 0)
+        for c, e, b in zip(cnts, ends, bases)
+    ]
+    # flattened superset boundaries: tile r owns [bounds[r], bounds[r+1])
+    bounds = [jnp.int32(0)]
+    for ns in nsupers:
+        bounds.append(bounds[-1] + ns)
+    total = bounds[-1]
 
-    px, py = _pixel_coords(static, t, trow0_ref[0])
-    upper = _tri_matrix(g)
+    def dma_addr(f):
+        """HBM lane offset of flattened superset f (scalar select over R)."""
+        addr = bases[0] + f * gS
+        for r in range(1, R):
+            addr = jnp.where(
+                f >= bounds[r], bases[r] + (f - bounds[r]) * gS, addr
+            )
+        return pl.multiple_of(addr, g)
 
-    # acc: (P, 8) — cols 0-2 RGB, col 3 expected depth, col 4 running log-T
-    acc[:, :] = jnp.zeros((npix, NROW), jnp.float32)
-
-    def dma(slot, i):
-        start = pl.multiple_of(base + i * gS, g)
+    def dma(slot, f):
         return pltpu.make_async_copy(
-            feats_hbm.at[:, pl.ds(start, gS)],
+            feats_hbm.at[:, pl.ds(dma_addr(f), gS)],
             fbuf.at[slot],
             sem.at[slot],
         )
 
     for w in range(NBUF - 1):
 
-        @pl.when(nsuper > w)
+        @pl.when(total > w)
         def _(w=w):
             dma(w, w).start()
 
-    log_eps = np.float32(np.log(max(static.trans_eps, 1e-30)))
+    for r in range(R):
+        off, end, base, nsuper = offs[r], ends[r], bases[r], nsupers[r]
+        px, py = _pixel_coords(static, tiles[r], trow0_ref[0])
 
-    def body(i, logT):
-        slot = jax.lax.rem(i, NBUF)
+        # acc: (P, 8) — cols 0-2 RGB, col 3 expected depth, col 4 running log-T
+        acc[:, :] = jnp.zeros((npix, NROW), jnp.float32)
 
-        @pl.when(i + NBUF - 1 < nsuper)
-        def _():
-            dma(jax.lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1).start()
+        def body(i, logT, off=off, end=end, base=base, D=bounds[r]):
+            f = D + i  # flattened pipeline index
+            slot = jax.lax.rem(f, NBUF)
 
-        dma(slot, i).wait()
+            @pl.when(f + NBUF - 1 < total)
+            def _():
+                dma(jax.lax.rem(f + NBUF - 1, NBUF), f + NBUF - 1).start()
 
-        def compute():
-            for s in range(S):
+            dma(slot, f).wait()
 
-                def chunk(s=s):
-                    f = fbuf[slot][:, s * g : (s + 1) * g]  # (NFEAT, G)
-                    alpha, la, _ = _chunk_alpha(
-                        static, f, px, py, base + i * gS + s * g, off, end
-                    )
-                    incl_la = _mm_x2(la, upper, ((1,), (0,)))  # (P,G) incl prefix
-                    excl = incl_la - la  # exclusive prefix, exact given incl_la
-                    w = alpha * jnp.exp(excl + acc[:, 4:5])  # (P, G): α_i · T_i
-                    # rgb+depth accumulation: split-f32 MXU contraction over
-                    # the lane axis, (P,G)×(4,G)→(P,4). The earlier four VPU
-                    # cross-lane reduction trees (~7 shuffle-add passes each)
-                    # were the kernel's single largest VPU cost; the matmul
-                    # pads N=4 to the MXU width but the kernel is VPU-bound,
-                    # so shifting the reduction to the idle MXU wins (measured
-                    # 30.9 → ~22 ms at 1M/1080p); the stacked-[hi|lo] variant
-                    # then cuts the padding waste from 3 passes to 2
-                    chans = f[5:9, :]  # (4, G)
-                    acc[:, 0:4] = acc[:, 0:4] + _mm_x2x2_2p(
-                        w, chans, ((1,), (1,)), small="b"
-                    )
-                    acc[:, 4:5] = acc[:, 4:5] + incl_la[:, g - 1 : g]
+            def compute():
+                for s in range(S):
 
-                if s == 0:
-                    chunk()  # first chunk of a live superset always has rows
-                else:
-                    # segments rarely fill the superset: the tail compute
-                    # chunk is fully masked whenever the segment ends in an
-                    # earlier chunk, and a fully-masked chunk is an exact
-                    # no-op (α ≡ 0 ⇒ la ≡ 0 ⇒ both accumulators unchanged)
-                    pl.when(base + i * gS + s * g < end)(chunk)
+                    def chunk(s=s):
+                        f_ = fbuf[slot][:, s * g : (s + 1) * g]  # (NFEAT, G)
+                        alpha, la, _ = _chunk_alpha(
+                            static, f_, px, py, base + i * gS + s * g, off, end
+                        )
+                        incl_la = _mm_x2(la, upper, ((1,), (0,)))  # (P,G) incl prefix
+                        excl = incl_la - la  # exclusive prefix, exact given incl_la
+                        w = alpha * jnp.exp(excl + acc[:, 4:5])  # (P, G): α_i · T_i
+                        # rgb+depth accumulation: split-f32 MXU contraction over
+                        # the lane axis, (P,G)×(4,G)→(P,4). The earlier four VPU
+                        # cross-lane reduction trees (~7 shuffle-add passes each)
+                        # were the kernel's single largest VPU cost; the matmul
+                        # pads N=4 to the MXU width but the kernel is VPU-bound,
+                        # so shifting the reduction to the idle MXU wins (measured
+                        # 30.9 → ~22 ms at 1M/1080p); the stacked-[hi|lo] variant
+                        # then cuts the padding waste from 3 passes to 2
+                        chans = f_[5:9, :]  # (4, G)
+                        acc[:, 0:4] = acc[:, 0:4] + _mm_x2x2_2p(
+                            w, chans, ((1,), (1,)), small="b"
+                        )
+                        acc[:, 4:5] = acc[:, 4:5] + incl_la[:, g - 1 : g]
 
-        if not static.sat_check:
-            compute()
-            return logT
-        # early-saturation skip: τ-bounded deviation from the τ=0 semantics
-        live = logT > log_eps
-        pl.when(live)(compute)
-        new_logT = jnp.where(live, jnp.max(acc[:, 4:5]), logT)
-        return new_logT
+                    if s == 0:
+                        chunk()  # first chunk of a live superset always has rows
+                    else:
+                        # segments rarely fill the superset: the tail compute
+                        # chunk is fully masked whenever the segment ends in an
+                        # earlier chunk, and a fully-masked chunk is an exact
+                        # no-op (α ≡ 0 ⇒ la ≡ 0 ⇒ both accumulators unchanged)
+                        pl.when(base + i * gS + s * g < end)(chunk)
 
-    jax.lax.fori_loop(0, nsuper, body, jnp.float32(0.0))
+            if not static.sat_check:
+                compute()
+                return logT
+            # early-saturation skip: τ-bounded deviation from τ=0 semantics.
+            # NOTE the skip only gates COMPUTE — the DMA issue/wait above runs
+            # regardless so the flattened pipeline's slot bookkeeping stays in
+            # lockstep across tiles.
+            live = logT > log_eps
+            pl.when(live)(compute)
+            new_logT = jnp.where(live, jnp.max(acc[:, 4:5]), logT)
+            return new_logT
 
-    acc[:, 4:5] = jnp.exp(acc[:, 4:5])
-    out_ref[:, :] = _transpose_mm(acc[:, :])  # (8, P)
+        jax.lax.fori_loop(0, nsuper, body, jnp.float32(0.0))
+
+        acc[:, 4:5] = jnp.exp(acc[:, 4:5])
+        out_ref[r * NROW : (r + 1) * NROW, :] = _transpose_mm(acc[:, :])
 
 
 def _trow0_arr(trow0):
@@ -406,13 +442,22 @@ def _raster_forward(pair_feats, offsets, counts, static: RasterStatics,
     num_tiles = static.tiles_x * static.tiles_y
     npix = static.tile_w * static.tile_h
     g = static.chunk * static.schunks
+    R = max(1, static.rtiles)
+    nprog = -(-num_tiles // R)
+    if nprog * R != num_tiles:
+        # pad the tile tables so every program owns exactly R tiles; padding
+        # tiles have zero counts (their fori bodies never run) and their
+        # output rows are sliced off below
+        pad = nprog * R - num_tiles
+        offsets = jnp.concatenate([offsets, jnp.zeros((pad,), offsets.dtype)])
+        counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(nprog,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec(
-            (NROW, npix), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
+            (R * NROW, npix), lambda t, *_: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((NBUF, NFEAT, g), jnp.float32),
@@ -420,12 +465,13 @@ def _raster_forward(pair_feats, offsets, counts, static: RasterStatics,
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, static),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((num_tiles * NROW, npix), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nprog * R * NROW, npix), jnp.float32),
         interpret=static.interpret,
     )(offsets, counts, _trow0_arr(trow0), pair_feats)
+    return out[: num_tiles * NROW] if nprog * R != num_tiles else out
 
 
 # ---------------------------------------------------------------------------
@@ -1284,6 +1330,7 @@ def render_tiled_pallas(
         schunks=config.dma_chunks,
         sat_check=config.sat_check,
         exact_vjp=config.exact_vjp,
+        rtiles=max(1, config.tiles_per_program),
     )
 
     n = proj.means2d.shape[0]

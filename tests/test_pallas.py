@@ -307,3 +307,18 @@ def test_exact_vjp_on_fallback_pipeline():
         b = np.asarray(getattr(g_pal, name))
         assert np.all(np.isfinite(b)), name
         np.testing.assert_allclose(b, a, atol=5e-6, rtol=3e-3, err_msg=name)
+
+
+def test_multi_tile_programs_bitwise_match_single():
+    """rtiles batches R tiles per forward grid program behind one flattened
+    DMA pipeline; per-tile math is untouched, so R=4 must be BITWISE equal to
+    R=1 — including a tile count not divisible by R (padded tail tiles)."""
+    import dataclasses
+
+    # 160x48 at 32x16 tiles = 5x3 = 15 tiles: 15 % 4 != 0
+    cam, model = _setup(n=150, width=160, height=48, seed=13)
+    r1 = render(model, cam, dataclasses.replace(PAL, tiles_per_program=1))
+    r4 = render(model, cam, dataclasses.replace(PAL, tiles_per_program=4))
+    assert np.array_equal(np.asarray(r1.image), np.asarray(r4.image))
+    assert np.array_equal(np.asarray(r1.alpha), np.asarray(r4.alpha))
+    assert np.array_equal(np.asarray(r1.depth), np.asarray(r4.depth))
