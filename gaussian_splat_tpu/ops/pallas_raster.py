@@ -545,32 +545,61 @@ def _bwd_kernel(
     S = static.schunks
     gS = g * S
     npix = static.tile_w * static.tile_h
-    t = pl.program_id(0)
+    R = static.rtiles
+    upper = _tri_matrix(g)
+    basis = _moment_basis(static, 0)  # (8, P): tile-LOCAL — tile-invariant
+    log_eps = np.float32(np.log(max(static.trans_eps, 1e-30)))
+
+    # R tiles per program, each with the SAME per-tile DMA ordering as a
+    # single-tile program (warmup → pipelined body → full out-drain before
+    # the next tile): the shared-head RMW safety argument below is unchanged,
+    # and what batching amortizes here is the grid machinery and the
+    # iota/triangle/moment-basis builds (the forward kernel additionally
+    # flattens its in-DMA pipeline across tiles; the backward's interleaved
+    # in+out pipelines with overlapping head-chunk writes would need
+    # cross-tile write-after-write ordering to do the same, so it keeps the
+    # per-tile drains — ordering identical to rtiles=1 by construction).
+    for r in range(R):
+        _bwd_one_tile(
+            static, offs_ref, cnts_ref, trow0_ref, feats_hbm, fwd_out_ref,
+            cot_ref, dfeats_hbm, fbuf, gbuf, state, hbuf, sem, gsem, hsem,
+            packed=packed, r=r, upper=upper, basis=basis, log_eps=log_eps,
+        )
+
+
+def _bwd_one_tile(
+    static, offs_ref, cnts_ref, trow0_ref, feats_hbm, fwd_out_ref, cot_ref,
+    dfeats_hbm, fbuf, gbuf, state, hbuf, sem, gsem, hsem, *, packed, r,
+    upper, basis, log_eps,
+):
+    g = static.chunk
+    S = static.schunks
+    gS = g * S
+    npix = static.tile_w * static.tile_h
+    t = pl.program_id(0) * static.rtiles + r
     off = offs_ref[t]
     cnt = cnts_ref[t]
     end = off + cnt
     base = pl.multiple_of((off // g) * g, g)
     nsuper = jnp.where(cnt > 0, pl.cdiv(end - base, gS), 0)
     # The first g-chunk may be shared with preceding tiles' tail rows: those
-    # tiles already wrote their gradients there (grid programs run
-    # sequentially and every out-DMA is drained before a program ends), so
-    # this tile must read-modify-write it instead of clobbering it. Only the
-    # FIRST g-chunk needs this: base is g-aligned to off, so predecessors'
-    # real data ends before base+g, and any predecessor superset-write fully
-    # covered that chunk (their write ends on a g boundary ≥ off).
+    # tiles already wrote their gradients there (tiles run sequentially and
+    # every out-DMA is drained before the next tile starts — see the drain
+    # loop at the bottom), so this tile must read-modify-write it instead of
+    # clobbering it. Only the FIRST g-chunk needs this: base is g-aligned to
+    # off, so predecessors' real data ends before base+g, and any predecessor
+    # superset-write fully covered that chunk (their write ends on a g
+    # boundary ≥ off).
     shared_head = off > base
 
     px, py = _pixel_coords(static, t, trow0_ref[0])
-    upper = _tri_matrix(g)
-    basis = _moment_basis(static, t)  # (8, P) tile-local moment basis
     ox = ((t % static.tiles_x) * static.tile_w).astype(jnp.float32)
     oy = ((t // static.tiles_x + trow0_ref[0]) * static.tile_h).astype(
         jnp.float32
     )
-    log_eps = np.float32(np.log(max(static.trans_eps, 1e-30)))
 
-    cot_t = _transpose_mm(cot_ref[:, :])  # (P, 8)
-    fwd_t = _transpose_mm(fwd_out_ref[:, :])  # (P, 8)
+    cot_t = _transpose_mm(cot_ref[r * NROW : (r + 1) * NROW, :])  # (P, 8)
+    fwd_t = _transpose_mm(fwd_out_ref[r * NROW : (r + 1) * NROW, :])  # (P, 8)
     gC = cot_t[:, 0:4]  # (P, 4): rgb + depth cotangents
     g_tf = cot_t[:, 4:5]  # (P, 1)
     c_total = fwd_t[:, 0:4]
@@ -773,14 +802,23 @@ def _raster_backward(
     gS = g * static.schunks
     b_pad = pair_feats.shape[1]
     grows, gdtype = (NPACK, jnp.uint32) if packed else (NFEAT, jnp.float32)
+    R = max(1, static.rtiles)
+    nprog = -(-num_tiles // R)
+    if nprog * R != num_tiles:
+        pad = nprog * R - num_tiles
+        offsets = jnp.concatenate([offsets, jnp.zeros((pad,), offsets.dtype)])
+        counts = jnp.concatenate([counts, jnp.zeros((pad,), counts.dtype)])
+        zrows = jnp.zeros((pad * NROW, npix), fwd_out.dtype)
+        fwd_out = jnp.concatenate([fwd_out, zrows])
+        cot = jnp.concatenate([cot, zrows.astype(cot.dtype)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(num_tiles,),
+        grid=(nprog,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((NROW, npix), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((NROW, npix), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R * NROW, npix), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R * NROW, npix), lambda t, *_: (t, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[

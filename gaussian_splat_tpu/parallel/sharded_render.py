@@ -353,6 +353,7 @@ def sharded_binning_stats(
             )
             feats_band = recv.reshape(ndev * a2a_cap, NFEAT_X)
             proj_band = _unpack_to_band(feats_band, jnp.float32(0.0))
+            opac_band = feats_band[:, 11]
             cap_arg = None
         else:
             feats_all = jax.lax.all_gather(feats, axis_name, tiled=True)
@@ -364,11 +365,17 @@ def sharded_binning_stats(
             proj_band = _unpack_to_band(
                 feats_all, jnp.float32(0.0), band_valid=in_band
             )
+            opac_band = feats_all[:, 11]
             cap_arg = max_active
+        # opacities → the σ-bound cell test runs, exactly as in the render
+        # path (round-5 fix: the stats path used to skip it, so its per-band
+        # pair counts could not be compared 1:1 against a σ-tested single-
+        # chip binning)
         b = bin_gaussians(
             proj_band, width, band_h, config, max_active=cap_arg,
             tile_row0=(idx * rows_per_dev).astype(jnp.int32),
             total_tiles_y=total_ty,
+            opacities=opac_band,
         )
         stats = BinningStats.of(b)
         stats = stats._replace(

@@ -136,7 +136,14 @@ def main(argv=None) -> int:
 
     proj, _ = _project_and_shade(model, camera, cfg)
     opac = _effective_opacities(model, proj, cfg)
-    single = bin_gaussians(proj, args.width, args.height, cfg, opacities=opac)
+    # the sharded frame pads the height so every band owns an equal integer
+    # number of tile rows (135 -> 136 at 2160/8); splats extending past the
+    # true bottom edge legitimately emit pairs in the padded row, so the
+    # single-chip reference must bin the SAME padded frame for the
+    # accounting to be exact (+15k pairs at this shape otherwise)
+    ty_n = cfg.tiles_y(args.height)
+    padded_h = -(-ty_n // ndev) * ndev * cfg.tile_height
+    single = bin_gaussians(proj, args.width, padded_h, cfg, opacities=opac)
     total = int(single.num_pairs)
     t2 = time.perf_counter()
 
