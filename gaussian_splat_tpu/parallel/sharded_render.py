@@ -294,6 +294,7 @@ def sharded_binning_stats(
     config: RenderConfig,
     mesh: Mesh,
     axis_name: str = "dev",
+    sigma_test: bool = True,
 ) -> BinningStats:
     """Project → exchange → bin (NO raster): per-band BinningStats (D,).
 
@@ -375,7 +376,7 @@ def sharded_binning_stats(
             proj_band, width, band_h, config, max_active=cap_arg,
             tile_row0=(idx * rows_per_dev).astype(jnp.int32),
             total_tiles_y=total_ty,
-            opacities=opac_band,
+            opacities=opac_band if sigma_test else None,
         )
         stats = BinningStats.of(b)
         stats = stats._replace(

@@ -134,16 +134,25 @@ def main(argv=None) -> int:
     # tile test runs, matching the sharded render path)
     from gaussian_splat_tpu.ops.render import _effective_opacities
 
-    proj, _ = _project_and_shade(model, camera, cfg)
-    opac = _effective_opacities(model, proj, cfg)
     # the sharded frame pads the height so every band owns an equal integer
     # number of tile rows (135 -> 136 at 2160/8); splats extending past the
     # true bottom edge legitimately emit pairs in the padded row, so the
     # single-chip reference must bin the SAME padded frame for the
-    # accounting to be exact (+15k pairs at this shape otherwise)
+    # accounting to be exact (+15k pairs at this shape otherwise). The whole
+    # reference path runs under ONE jit: eager-mode projection drifts from
+    # the jitted band pipeline by 1 ulp on a handful of splats (LLVM FMA
+    # contraction differs per compilation context), which flipped ~20 rect/
+    # sigma boundary cells out of 14M before this was jitted.
     ty_n = cfg.tiles_y(args.height)
     padded_h = -(-ty_n // ndev) * ndev * cfg.tile_height
-    single = bin_gaussians(proj, args.width, padded_h, cfg, opacities=opac)
+
+    @jax.jit
+    def single_ref(m):
+        proj, _ = _project_and_shade(m, camera, cfg)
+        opac = _effective_opacities(m, proj, cfg)
+        return bin_gaussians(proj, args.width, padded_h, cfg, opacities=opac)
+
+    single = single_ref(model)
     total = int(single.num_pairs)
     t2 = time.perf_counter()
 
