@@ -1,0 +1,69 @@
+"""Interactive-viewer FPS measurement on a PLY artifact (round-5 item 4).
+
+The reference's product is dragging a 2.5M-splat truck PLY interactively
+(/root/reference/src/main.mm:69-70 + the trackball loop). This measures the
+same interaction pattern headlessly on a trained artifact: orbit the
+trackball while "dragging" (LoD subset active, like `cli view --lod`) and
+while idle (full model), reporting FPS for both. Writes JSON to stdout.
+
+Run: PYTHONPATH=... python scripts/viewer_fps.py scenes/fitted_2p5m.ply
+"""
+
+import json
+import sys
+import time
+
+
+def main() -> int:
+    path = sys.argv[1] if len(sys.argv) > 1 else "scenes/fitted_2p5m.ply"
+    lod = float(sys.argv[2]) if len(sys.argv) > 2 else 0.25
+
+    import gaussian_splat_tpu as gs
+    from gaussian_splat_tpu.io.ply import load_gaussians
+    from gaussian_splat_tpu.viewer.viewer import Viewer
+
+    model = load_gaussians(path)
+    cfg = gs.RenderConfig(backend="auto")
+    # the deployment model: one calibration per scene (exactness guarded by
+    # the overflow/tier sentinels)
+    cam0 = gs.Camera.from_lookat(
+        (0.0, 2.0, 5.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), 45.0, 1280, 720
+    )
+    cfg = gs.calibrate_render_config(model, cam0, cfg)
+    v = Viewer(model, cfg, width=1280, height=720, lod_fraction=lod)
+
+    def run(frames, dragging):
+        if dragging:
+            v.trackball.handle_mouse_down(400, 300, 0)
+        # warm both jit paths
+        v._interacting_until = time.monotonic() + 1e9 if dragging else 0.0
+        v.render_frame()
+        v.render_frame()
+        t0 = time.perf_counter()
+        for i in range(frames):
+            if dragging:
+                v.trackball.handle_mouse_move(400 + 4 * (i + 1), 300 + (i % 7))
+                v._interacting_until = time.monotonic() + 1e9
+            else:
+                v._interacting_until = 0.0
+            v.render_frame()
+        dt = time.perf_counter() - t0
+        if dragging:
+            v.trackball.handle_mouse_up()
+        return frames / dt
+
+    fps_drag = run(30, dragging=True)
+    fps_idle = run(15, dragging=False)
+    print(json.dumps({
+        "scene": path,
+        "n": model.num_gaussians,
+        "resolution": [1280, 720],
+        "lod_fraction": lod,
+        "fps_dragging_lod": round(fps_drag, 1),
+        "fps_idle_full": round(fps_idle, 1),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
