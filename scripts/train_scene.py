@@ -203,9 +203,15 @@ def main():
     train_s = time.time() - t1
     history = hist
 
-    # PSNR over all views
-    rfit = jax.jit(lambda cam: gs.render(fitted, cam, cfg).image)
-    ps = [psnr(rfit(ds.camera(i)), ds.target(i)) for i in range(ds.num_views)]
+    # PSNR over all views. The model is an ARGUMENT, not a closure: closing
+    # over a multi-million-splat pytree embeds ~300 MB of constants in the
+    # jitted module (the 2.5M run spent longer shipping that through the
+    # remote compiler than it spent training).
+    rfit = jax.jit(lambda m, cam: gs.render(m, cam, cfg).image)
+    ps = [
+        psnr(rfit(fitted, ds.camera(i)), ds.target(i))
+        for i in range(ds.num_views)
+    ]
     mean_psnr = float(np.mean(ps))
     print(f"train {train_s:.0f}s  loss {history[0]:.4f}→{history[-1]:.4f}  "
           f"PSNR mean {mean_psnr:.2f} (min {min(ps):.2f}, max {max(ps):.2f})")
