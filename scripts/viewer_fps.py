@@ -54,6 +54,28 @@ def main() -> int:
 
     fps_drag = run(30, dragging=True)
     fps_idle = run(15, dragging=False)
+
+    # Device-side frame rate: render + block, no host pull. The dev tunnel
+    # moves the 11 MB 720p frame to the host at ~hundreds of ms; a
+    # co-located viewer pays PCIe microseconds for the same pull, so the
+    # device number is the honest renderer cost (the end-to-end numbers
+    # above are what THIS tunneled environment can display).
+    import jax
+
+    model_lod = v._model_lod if v._model_lod is not None else model
+    cam = v.trackball.camera(1280, 720)
+
+    def dev_fps(m, frames):
+        out = v._render_jit(m, cam)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(frames):
+            out = v._render_jit(m, cam)
+            jax.block_until_ready(out)
+        return frames / (time.perf_counter() - t0)
+
+    fps_dev_lod = dev_fps(model_lod, 30)
+    fps_dev_full = dev_fps(model, 15)
     print(json.dumps({
         "scene": path,
         "n": model.num_gaussians,
@@ -61,6 +83,8 @@ def main() -> int:
         "lod_fraction": lod,
         "fps_dragging_lod": round(fps_drag, 1),
         "fps_idle_full": round(fps_idle, 1),
+        "fps_device_lod": round(fps_dev_lod, 1),
+        "fps_device_full": round(fps_dev_full, 1),
     }))
     return 0
 
