@@ -64,12 +64,14 @@ BWD_MXU_PASSES = 9  # 2 (prefix) + 2 (contrib) + 3 (moments) + 2 (dchans 2p)
 #   * accumulator init, pixel-coord/iota setup, scalar segment math, DMA
 #     issue + grid book-keeping: an empirical per-program floor.
 # Measured on v5e by an all-tiles-empty grid sweep (the slope of kernel time
-# vs tile count at zero chunks, scripts/calibrate_tile_overhead.py:
-# T=256/1024/4096 → fwd 1.56/2.00/3.91 ms, bwd 1.67/2.44/5.58 ms):
-# 0.61 µs/program forward, 1.02 µs backward. The slope INCLUDES the per-tile
-# transposes and output DMA, so no separate MXU term is charged for them.
-FWD_TILE_US = 0.61
-BWD_TILE_US = 1.02
+# vs tile count at zero chunks, scripts/calibrate_tile_overhead.py; round-5
+# recalibration with tiles_per_program=4 batching active:
+# T=256/1024/4096 → fwd 1.94/2.30/3.83 ms, bwd 2.00/2.50/5.47 ms):
+# 0.49 µs/tile forward, 0.90 µs backward (0.61/1.02 unbatched). The slope
+# INCLUDES the per-tile transposes and output DMA, so no separate MXU term
+# is charged for them.
+FWD_TILE_US = 0.49
+BWD_TILE_US = 0.90
 
 
 @dataclasses.dataclass

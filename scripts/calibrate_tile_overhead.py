@@ -30,6 +30,7 @@ def time_kernels(num_tiles_y, config):
         alpha_skip=config.alpha_skip, sigma_cutoff=config.sigma_cutoff,
         trans_eps=config.transmittance_eps, interpret=False,
         schunks=config.dma_chunks,
+        rtiles=max(1, config.tiles_per_program),  # calibrate what ships
     )
     T = 32 * num_tiles_y
     npix = config.tile_width * config.tile_height
