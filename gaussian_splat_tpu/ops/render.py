@@ -207,7 +207,10 @@ def calibrate_render_config(
     )
     if mesh_ndev is not None and mesh_ndev > 1:
         tail = max(max_incidence - -(-n // mesh_ndev), 0)
+        # margin 1.0 already yields cap = N (no compaction possible beyond
+        # that), so clamp: tiny scenes with band-spanning splats can measure
+        # a tail above (1 - 1/D)·N
         updates["shard_capacity_margin"] = round(
-            tail * margin_headroom / max(n, 1), 4
+            min(tail * margin_headroom / max(n, 1), 1.0), 4
         )
     return dataclasses.replace(config, **updates)

@@ -94,3 +94,41 @@ def test_roofline_model():
     assert fc.limiter() in ("mxu", "vpu", "hbm", "fixed")
     bc = backward_cost(1000, 8160)
     assert bc.mxu_flops > fc.mxu_flops
+
+
+def test_calibrate_render_config_is_output_identical():
+    """Scene calibration tightens pairs_per_gaussian / big_tier_capacity /
+    (with mesh_ndev) shard_capacity_margin; with the overflow sentinels at 0
+    the calibrated config must render BIT-IDENTICAL output to the default."""
+    import gaussian_splat_tpu as gs
+    from gaussian_splat_tpu.config import RenderConfig
+
+    cam = gs.Camera.from_lookat(
+        (0, 0, -4), (0, 0, 0), (0, 1, 0), 60.0, 128, 96
+    )
+    model = gs.GaussianModel.random(
+        jax.random.PRNGKey(5), 300, sh_degree=1, extent=1.2,
+        scale_range=(0.02, 0.1),
+    )
+    base = RenderConfig(backend="jnp_tile")
+    cal = gs.calibrate_render_config(model, cam, base, mesh_ndev=4)
+    assert cal.big_tier_capacity is not None
+    assert cal.pairs_per_gaussian <= base.pairs_per_gaussian  # tiny scene
+    assert 0.0 <= cal.shard_capacity_margin <= 1.0
+
+    out_base = gs.render(model, cam, base)
+    out_cal = gs.render(model, cam, cal)
+    assert np.array_equal(np.asarray(out_base.image), np.asarray(out_cal.image))
+    assert np.array_equal(np.asarray(out_base.alpha), np.asarray(out_cal.alpha))
+
+    # sentinel check: the calibrated capacities must not truncate this scene
+    from gaussian_splat_tpu.ops.binning import bin_gaussians
+    from gaussian_splat_tpu.ops.render import (
+        _effective_opacities, _project_and_shade,
+    )
+
+    proj, _ = _project_and_shade(model, cam, cal)
+    opac = _effective_opacities(model, proj, cal)
+    b = bin_gaussians(proj, 128, 96, cal, opacities=opac)
+    assert int(b.overflow) == 0
+    assert int(b.tier_overflow) == 0
