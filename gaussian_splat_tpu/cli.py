@@ -95,6 +95,7 @@ def cmd_view(args) -> int:
         show_overlay=not args.no_overlay,
         hot_reload=args.hot_reload,
         lod_fraction=args.lod,
+        lod_pair_budget=args.lod_pairs,
     )
     print(f"serving {model.num_gaussians} splats at http://{args.host}:{args.port}/")
     viewer.serve(host=args.host, port=args.port)
@@ -215,6 +216,11 @@ def main(argv=None) -> int:
     p.add_argument("--lod", type=float, default=0.0,
                    help="render the top-LOD fraction of splats while the "
                         "camera is being dragged (0 = always full model)")
+    p.add_argument("--lod-pairs", type=float, default=0.0,
+                   help="pair-budget-aware drag LoD: bound the dragged "
+                        "frame's tile-pair cost to this fraction of the "
+                        "full frame's (frame time is pair-proportional; "
+                        "takes precedence over --lod)")
     p.add_argument("--hot-reload", action="store_true",
                    help="poll the Pallas kernel module every frame and hot-swap it")
     _add_render_config_args(p)

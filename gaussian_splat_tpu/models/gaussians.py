@@ -131,6 +131,58 @@ class GaussianModel:
         impact = op * smax * smax
         keep = np.argsort(impact)[::-1][:k]
         keep.sort()  # preserve original relative order
+        return self._take_host(keep)
+
+    def lod_pair_budget(
+        self, cost_fraction: float, costs=None
+    ) -> "GaussianModel":
+        """Pair-budget LoD: keep the subset whose predicted tile-PAIR cost is
+        ≤ `cost_fraction` of the full model's.
+
+        `lod(fraction)` bounds N, but frame time scales with tile pairs (the
+        pair gather, pair sort, and raster kernel are all per-pair —
+        docs/ARCHITECTURE.md "Known costs"), and the impact ranking keeps
+        exactly the splats that touch the most tiles, so `lod(0.25)` can
+        retain ~40% of the pairs. This selection spends a *pair* budget
+        instead: splats are admitted in decreasing contribution-per-pair
+        order (greedy knapsack by value density) until `cost_fraction` of
+        the total predicted cost is spent — bounding the degraded frame's
+        time directly.
+
+        `costs`: optional (N,) per-splat pair costs — the K-capped tile-rect
+        areas from `ops.render.measure_pair_costs(model, camera, config)` at
+        a representative pose (the viewer calibrates this at its start
+        pose); splats culled there (cost 0) are admitted last. Without it, a
+        view-independent proxy `1 + β·smax²` is used (tile count scales with
+        screen area ∝ world area at fixed view; β normalized so the average
+        splat's area term costs one pair). Host-side, load/init time only."""
+        import numpy as np
+
+        n = self.num_gaussians
+        op = 1.0 / (1.0 + np.exp(-np.asarray(self.opacity_logits)))
+        if costs is None:
+            smax = np.exp(np.asarray(self.log_scales)).max(axis=-1)
+            area = smax * smax
+            beta = n / max(float(area.sum()), 1e-12)
+            cost = 1.0 + beta * area
+            value = op * area
+        else:
+            cost = np.asarray(costs, np.float64)
+            # value ∝ expected covered pixels = opacity × screen area; culled
+            # splats (cost 0) get value 0 and sort last
+            value = op * cost
+            cost = np.maximum(cost, 1.0)
+        density = value / cost
+        order = np.argsort(-density, kind="stable")
+        csum = np.cumsum(cost[order])
+        k = int(np.searchsorted(csum, cost_fraction * csum[-1], side="right"))
+        keep = order[: max(1, min(n, k))]
+        keep.sort()  # preserve original relative order
+        return self._take_host(keep)
+
+    def _take_host(self, keep) -> "GaussianModel":
+        import numpy as np
+
         return GaussianModel(
             means=jnp.asarray(np.asarray(self.means)[keep]),
             quats=jnp.asarray(np.asarray(self.quats)[keep]),

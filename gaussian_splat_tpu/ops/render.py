@@ -214,3 +214,31 @@ def calibrate_render_config(
             min(tail * margin_headroom / max(n, 1), 1.0), 4
         )
     return dataclasses.replace(config, **updates)
+
+
+def measure_pair_costs(
+    model: GaussianModel,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+):
+    """Per-splat K-capped tile-rect areas at `camera` — the (N,) pair-cost
+    vector behind `GaussianModel.lod_pair_budget`.
+
+    Same cheap projection + rect pass as `calibrate_render_config` (no
+    rasterization), but returning the PER-SPLAT costs instead of their sum:
+    cost[i] is the number of tile cells splat i's K-capped rect covers, an
+    upper bound on the pairs it contributes (the σ-bound cell test only
+    removes pairs), and 0 for splats culled at this camera."""
+
+    @jax.jit
+    def measure(m, cam):
+        from gaussian_splat_tpu.ops.binning import tile_rects
+
+        proj, _ = _project_and_shade(m, cam, config)
+        _tx0, _ty0, w, h, _cl = tile_rects(
+            proj.means2d, proj.radii, proj.valid, cam.width, cam.height,
+            config, extents=proj.extents,
+        )
+        return w * h
+
+    return jax.device_get(measure(model, camera))

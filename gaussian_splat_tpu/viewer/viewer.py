@@ -61,6 +61,12 @@ class Viewer:
         #   the full model once idle — interactive degradation the reference
         #   never needed (its GPU rasterizer is per-frame cheap; our binning/
         #   gather stages scale with N)
+        lod_pair_budget: float = 0.0,  # >0: pair-budget-aware drag subset
+        #   instead — per-splat tile costs measured at the start pose
+        #   (ops.render.measure_pair_costs), subset bounded to this fraction
+        #   of the frame's tile-pair cost (GaussianModel.lod_pair_budget).
+        #   Frame time is pair-proportional, so this bounds drag latency
+        #   directly where lod_fraction only bounds N. Takes precedence.
     ):
         self.model = model
         self.config = config
@@ -71,9 +77,18 @@ class Viewer:
         self.trackball = TrackballCamera()
         self.timers = ScopeTimer()
         self.lod_fraction = lod_fraction
-        self._model_lod = (
-            model.lod(lod_fraction) if 0.0 < lod_fraction < 1.0 else None
-        )
+        self.lod_pair_budget = lod_pair_budget
+        if 0.0 < lod_pair_budget < 1.0:
+            from gaussian_splat_tpu.ops.render import measure_pair_costs
+
+            costs = measure_pair_costs(
+                model, self.trackball.camera(width, height), config
+            )
+            self._model_lod = model.lod_pair_budget(lod_pair_budget, costs)
+        elif 0.0 < lod_fraction < 1.0:
+            self._model_lod = model.lod(lod_fraction)
+        else:
+            self._model_lod = None
         self._interacting_until = 0.0
 
         from gaussian_splat_tpu.viewer import overlay as _ov

@@ -160,3 +160,59 @@ def test_lod_subset_and_interactive_switch():
     lod = v.render_frame()
     assert full.shape == lod.shape
     assert (full != lod).any()  # the degraded frame differs
+
+
+def test_lod_pair_budget_bounds_pairs():
+    """The pair-budget subset's measured pair cost respects the budget, and
+    the rendered pair count (σ-test only removes pairs) stays under it too."""
+    import jax
+    import numpy as np
+    from gaussian_splat_tpu.camera import Camera
+    from gaussian_splat_tpu.config import RenderConfig
+    from gaussian_splat_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_tpu.ops.render import measure_pair_costs
+
+    model = GaussianModel.random(
+        jax.random.PRNGKey(3), 256, sh_degree=0, scale_range=(0.02, 0.3)
+    )
+    cam = Camera.from_lookat(
+        (0.0, 2.0, 5.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0), 45.0, 128, 96
+    )
+    cfg = RenderConfig(backend="jnp_tile")
+    costs = np.asarray(measure_pair_costs(model, cam, cfg))
+    assert costs.shape == (256,) and costs.sum() > 0
+
+    frac = 0.3
+    sub = model.lod_pair_budget(frac, costs)
+    assert 1 <= sub.num_gaussians < model.num_gaussians
+    # re-measure the subset at the same camera: identical per-splat rects
+    # (subsetting changes nothing per splat), so the budget must hold
+    sub_costs = np.asarray(measure_pair_costs(sub, cam, cfg))
+    # knapsack charges max(cost, 1) per splat, so the bound is against the
+    # clamped total; measured areas are <= the charged costs
+    assert sub_costs.sum() <= frac * np.maximum(costs, 1).sum() + 1e-6
+
+    # the heuristic (view-free) fallback also returns a nonempty strict subset
+    sub2 = model.lod_pair_budget(frac)
+    assert 1 <= sub2.num_gaussians < model.num_gaussians
+
+
+def test_lod_pair_budget_viewer_switch():
+    import time
+    import jax
+    from gaussian_splat_tpu.config import RenderConfig
+    from gaussian_splat_tpu.models.gaussians import GaussianModel
+    from gaussian_splat_tpu.viewer.viewer import Viewer
+
+    model = GaussianModel.random(
+        jax.random.PRNGKey(4), 64, sh_degree=0, scale_range=(0.02, 0.3)
+    )
+    v = Viewer(model, RenderConfig(backend="jnp_tile"), width=64, height=48,
+               show_overlay=False, lod_pair_budget=0.3)
+    assert v._model_lod is not None
+    assert v._model_lod.num_gaussians < model.num_gaussians
+    full = v.render_frame()
+    v._interacting_until = time.monotonic() + 5.0
+    lod = v.render_frame()
+    assert full.shape == lod.shape
+    assert (full != lod).any()
