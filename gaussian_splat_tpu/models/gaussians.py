@@ -134,7 +134,8 @@ class GaussianModel:
         return self._take_host(keep)
 
     def lod_pair_budget(
-        self, cost_fraction: float, costs=None
+        self, cost_fraction: float, costs=None, values=None,
+        order: str = "value",
     ) -> "GaussianModel":
         """Pair-budget LoD: keep the subset whose predicted tile-PAIR cost is
         ≤ `cost_fraction` of the full model's.
@@ -155,28 +156,52 @@ class GaussianModel:
         pose); splats culled there (cost 0) are admitted last. Without it, a
         view-independent proxy `1 + β·smax²` is used (tile count scales with
         screen area ∝ world area at fixed view; β normalized so the average
-        splat's area term costs one pair). Host-side, load/init time only."""
+        splat's area term costs one pair). Host-side, load/init time only.
+
+        `values`: optional (N,) per-splat visual worth, e.g. the MEASURED
+        occlusion-aware contribution from
+        `ops.render.measure_splat_contributions` (one differentiable render).
+        Default: impact = `opacity × world area` — `lod()`'s ranking, the
+        measured winner (see `order` below).
+
+        `order`: `"value"` (default) admits splats in decreasing value order
+        and stops when the budget is spent; `"density"` is the classic
+        knapsack value/cost ordering. Density ordering divides by tile cost,
+        which INVERTS the ranking on collectively-occluding stacks of
+        low-opacity big splats (fog) — each is individually poor
+        value-per-pair but jointly they are the image. Measured at the same
+        ~48% pair spend on the procedural 2.5M fog-tailed scene
+        (docs/REALISTIC_SCENE.md selector table): impact-valued
+        value-ordered 28.2 dB PSNR vs the full frame (lod(0.25) itself:
+        29.7); density-ordered 4.1 dB with heuristic values and 13.0 dB
+        even with measured contributions (marginal gradients cannot predict
+        the JOINT removal of an occluding stack); at a 10% budget the
+        shipped default drags at 20.7 FPS / 15.5 dB where lod(0.25) ran
+        4.2 FPS."""
         import numpy as np
 
         n = self.num_gaussians
         op = 1.0 / (1.0 + np.exp(-np.asarray(self.opacity_logits)))
+        smax = np.exp(np.asarray(self.log_scales)).max(axis=-1)
+        area = smax * smax
+        # Default value = the SAME impact ranking as lod(): opacity × WORLD
+        # area, uncapped. Not opacity × measured screen cost: the K-cap
+        # clamps huge splats' tile rects, undervaluing exactly the fog-tail
+        # splats whose joint occlusion carries the image (measured: 3.9 dB
+        # vs 29.7 dB at the same 48% pair spend — see the docstring table).
+        value = op * area if values is None else np.asarray(values, np.float64)
         if costs is None:
-            smax = np.exp(np.asarray(self.log_scales)).max(axis=-1)
-            area = smax * smax
             beta = n / max(float(area.sum()), 1e-12)
             cost = 1.0 + beta * area
-            value = op * area
         else:
             cost = np.asarray(costs, np.float64)
-            # value ∝ expected covered pixels = opacity × screen area; culled
-            # splats (cost 0) get value 0 and sort last
-            value = op * cost
+            value = value * (cost > 0)  # splats culled at the pose sort last
             cost = np.maximum(cost, 1.0)
-        density = value / cost
-        order = np.argsort(-density, kind="stable")
-        csum = np.cumsum(cost[order])
+        key = value / cost if order == "density" else value
+        idx = np.argsort(-key, kind="stable")
+        csum = np.cumsum(cost[idx])
         k = int(np.searchsorted(csum, cost_fraction * csum[-1], side="right"))
-        keep = order[: max(1, min(n, k))]
+        keep = idx[: max(1, min(n, k))]
         keep.sort()  # preserve original relative order
         return self._take_host(keep)
 

@@ -242,3 +242,33 @@ def measure_pair_costs(
         return w * h
 
     return jax.device_get(measure(model, camera))
+
+
+def measure_splat_contributions(
+    model: GaussianModel,
+    camera: Camera,
+    config: RenderConfig = RenderConfig(),
+):
+    """Per-splat MEASURED visual contribution at `camera`: |∂Σimage/∂logit_i|,
+    one differentiable render at the pose (N,) — the value vector for
+    `GaussianModel.lod_pair_budget`.
+
+    The opacity-logit gradient of the composited image is each splat's
+    MARGINAL effect on the final pixels — occlusion, transmittance, and
+    overlap included — and the backward kernel makes it one fwd+bwd pass
+    (~2× frame time, once per scene load). Measured caveat
+    (docs/REALISTIC_SCENE.md selector table): marginal gradients cannot
+    predict the JOINT removal of a collectively-occluding stack — on the
+    fog-tailed 2.5M scene this value lost to the plain impact ranking
+    (13.0 vs 28.2 dB at the same pair spend), which is why
+    `lod_pair_budget`'s default value stays impact and this measurement is
+    opt-in."""
+
+    @jax.jit
+    def contrib(m, cam):
+        g = jax.grad(
+            lambda mm: jnp.sum(render(mm, cam, config).image)
+        )(m)
+        return jnp.abs(g.opacity_logits)
+
+    return jax.device_get(contrib(model, camera))

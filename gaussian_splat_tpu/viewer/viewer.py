@@ -81,9 +81,11 @@ class Viewer:
         if 0.0 < lod_pair_budget < 1.0:
             from gaussian_splat_tpu.ops.render import measure_pair_costs
 
-            costs = measure_pair_costs(
-                model, self.trackball.camera(width, height), config
-            )
+            cam0 = self.trackball.camera(width, height)
+            costs = measure_pair_costs(model, cam0, config)
+            # value-ordered admission under the measured pair budget — the
+            # selector that preserved the image best at a fixed pair spend
+            # (see GaussianModel.lod_pair_budget's measured comparison)
             self._model_lod = model.lod_pair_budget(lod_pair_budget, costs)
         elif 0.0 < lod_fraction < 1.0:
             self._model_lod = model.lod(lod_fraction)

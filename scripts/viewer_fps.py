@@ -76,7 +76,7 @@ def main() -> int:
 
     fps_dev_lod = dev_fps(model_lod, 30)
     fps_dev_full = dev_fps(model, 15)
-    print(json.dumps({
+    result = {
         "scene": path,
         "n": model.num_gaussians,
         "resolution": [1280, 720],
@@ -85,7 +85,55 @@ def main() -> int:
         "fps_idle_full": round(fps_idle, 1),
         "fps_device_lod": round(fps_dev_lod, 1),
         "fps_device_full": round(fps_dev_full, 1),
-    }))
+    }
+
+    if "--compare" in sys.argv:
+        # Impact-ranked lod(f) vs pair-budget LoD at MATCHED pair spend:
+        # same tile-pair cost at this pose, so FPS should be comparable and
+        # PSNR (vs the full render, both over black) measures which subset
+        # spends the pairs better. A third aggressive point (10% budget)
+        # shows the latency bound the budget gives directly.
+        import numpy as np
+        from gaussian_splat_tpu.ops.render import measure_pair_costs
+
+        def psnr(a, b):
+            mse = float(np.mean((np.asarray(a) - np.asarray(b)) ** 2))
+            return 99.0 if mse == 0 else 10.0 * np.log10(1.0 / mse)
+
+        full_img = np.asarray(jax.device_get(v._render_jit(model, cam)[0]))
+        costs = np.asarray(measure_pair_costs(model, cam0, cfg))
+        # (measured contributions — measure_splat_contributions — were also
+        # compared: 13.0 dB density-ordered / 9.1 dB value-ordered at 48%/10%
+        # budgets, both beaten by the impact value; docs/viewer_lod_compare*.json)
+        tot = float(np.maximum(costs, 1).sum())
+
+        def point(sub, tag):
+            c = float(np.asarray(measure_pair_costs(sub, cam0, cfg)).sum())
+            img = np.asarray(jax.device_get(v._render_jit(sub, cam)[0]))
+            result[tag] = {
+                "n": sub.num_gaussians,
+                "pair_cost": int(c),
+                "pair_cost_share": round(c / tot, 4),
+                "fps_device": round(dev_fps(sub, 20), 1),
+                "psnr_vs_full_db": round(psnr(img, full_img), 2),
+            }
+            return c
+
+        c_imp = point(model_lod, "impact_lod")
+        match = c_imp / tot
+        # (density — knapsack value/cost — orderings were measured once and
+        # recorded as negative results: 4.09 dB heuristic / 13.01 dB
+        # measured-contribution at the matched budget, vs 29.7 dB for the
+        # value orderings below; density inverts the ranking on occluding
+        # fog stacks. docs/viewer_lod_compare*.json)
+        # value-ordered admission under the budget with the shipped default
+        # value (impact = opacity × world area, lod()'s ranking) — at the
+        # matched budget and at an aggressive 10% budget
+        point(model.lod_pair_budget(match, costs), "value_impact_matched")
+        point(model.lod_pair_budget(0.10, costs), "value_impact_0.10")
+        result["full_pair_cost"] = int(costs.sum())
+
+    print(json.dumps(result))
     return 0
 
 
